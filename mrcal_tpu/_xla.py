@@ -1,0 +1,24 @@
+"""Global numeric configuration for mrcal_tpu.
+
+mrcal is a metrology toolkit: calibration solves and uncertainty propagation
+need float64 end-to-end (the reference C implementation is double-precision
+throughout).  We therefore enable JAX x64 mode at import time, before any
+arrays are created.  Set MRCAL_TPU_NO_X64=1 to opt out (e.g. for pure-f32
+throughput experiments on TPU, where f64 is software-emulated).
+
+The hot TPU compute path (Jacobian accumulation, Schur products) is written
+dtype-polymorphic so it can run in f32/bf16 with f64 reductions when speed
+matters; see mrcal_tpu.optimize.
+"""
+
+import os
+
+import jax
+
+if not os.environ.get("MRCAL_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype():
+    import jax.numpy as jnp
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -1,0 +1,376 @@
+"""Calibration seeding pipeline (reference: /root/reference/mrcal/calibration.py).
+
+The reference shells out to mrgingham for corner detection and uses
+cv2.solvePnP for monocular poses.  Here corner files are parsed natively and
+PnP is a small homography-seeded Gauss-Newton solve in JAX (SURVEY §8.1
+mandates no cv2 dependency; exact seed parity is NOT required — the seed is
+refined by staged optimize() calls).
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import _xla  # noqa: F401
+from . import poseutils
+from .poseutils import _compose_rt2, _transform_point_rt, _R_from_r, _r_from_R
+from .projections import unproject, project
+from .utils import align_procrustes_points_Rt01
+
+
+# ----------------------------------------------------------------------------
+# corners.vnl parsing (reference: calibration.py:24 compute_chessboard_corners)
+# ----------------------------------------------------------------------------
+
+def compute_chessboard_corners(W, H, *,
+                               globs_per_camera=("*",),
+                               corners_cache_vnl=None,
+                               jobs=1,
+                               exclude_images=set(),
+                               weight_column_kind="level"):
+    """Parse a corners.vnl file (vnlog: '# filename x y level' header + rows)
+    into mrcal observation arrays.
+
+    Returns (observations (Nobs,H,W,3), indices_frame_camera (Nobs,2),
+    paths).  Detection via mrgingham subprocess is not run here — a corners
+    cache file must be supplied (reference behavior when the cache exists:
+    calibration.py:24-220)."""
+    if corners_cache_vnl is None:
+        raise NotImplementedError(
+            "corner detection requires a corners_cache_vnl file; running the "
+            "mrgingham detector is not supported in mrcal_tpu")
+
+    if weight_column_kind not in ("level", "weight", None):
+        raise ValueError("weight_column_kind must be level/weight/None")
+
+    # parse the vnlog
+    rows = {}
+    f = open(corners_cache_vnl) if isinstance(corners_cache_vnl, str) \
+        else corners_cache_vnl
+    for line in f:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        fields = line.split()
+        fname = fields[0]
+        if fname == "-" or len(fields) < 3:
+            rows.setdefault(fname, [])
+            continue
+        x, y = float(fields[1]), float(fields[2])
+        w = 1.0
+        if len(fields) > 3 and weight_column_kind is not None:
+            lvl = float(fields[3]) if fields[3] != "-" else -1.0
+            if weight_column_kind == "level":
+                # decimation level -> weight = 1/2^level; <0 -> outlier
+                w = -1.0 if lvl < 0 else 0.5 ** lvl
+            else:
+                w = lvl
+        rows.setdefault(fname, []).append((x, y, w))
+
+    import fnmatch
+    filenames = [fn for fn in rows if fn not in exclude_images]
+    # assign cameras by glob
+    observations = []
+    indices_frame_camera = []
+    paths = []
+    frames = {}
+    for fname in filenames:
+        icam = None
+        for i, g in enumerate(globs_per_camera):
+            if fnmatch.fnmatch(fname, g):
+                icam = i
+                break
+        if icam is None:
+            continue
+        corners = rows[fname]
+        if len(corners) != W * H:
+            continue
+        key = re.sub(r"[^0-9]", "", fname) or fname
+        frames.setdefault(key, len(frames))
+        obs = np.array(corners).reshape(H, W, 3)
+        observations.append(obs)
+        indices_frame_camera.append((frames[key], icam))
+        paths.append(fname)
+
+    observations = np.array(observations)
+    indices_frame_camera = np.array(indices_frame_camera, dtype=np.int32)
+    # renumber frames densely in observation order
+    _, inv = np.unique(indices_frame_camera[:, 0], return_inverse=True)
+    indices_frame_camera[:, 0] = inv
+    order = np.lexsort((indices_frame_camera[:, 1],
+                        indices_frame_camera[:, 0]))
+    return (observations[order], indices_frame_camera[order],
+            [paths[i] for i in order])
+
+
+# ----------------------------------------------------------------------------
+# PnP: homography seed + Gauss-Newton refinement (replaces cv2.solvePnP)
+# ----------------------------------------------------------------------------
+
+def _homography_dlt(p_board_xy, q_norm):
+    """DLT homography board-plane -> normalized image coords (numpy)."""
+    n = p_board_xy.shape[0]
+    A = np.zeros((2 * n, 9))
+    for i in range(n):
+        X, Y = p_board_xy[i]
+        u, v = q_norm[i]
+        A[2 * i] = [-X, -Y, -1, 0, 0, 0, u * X, u * Y, u]
+        A[2 * i + 1] = [0, 0, 0, -X, -Y, -1, v * X, v * Y, v]
+    _, _, Vt = np.linalg.svd(A)
+    return Vt[-1].reshape(3, 3)
+
+
+def _pose_from_homography(Hm):
+    """Decompose a plane homography into Rt (board -> camera)."""
+    h0, h1, h2 = Hm[:, 0], Hm[:, 1], Hm[:, 2]
+    s = 1.0 / np.sqrt(np.linalg.norm(h0) * np.linalg.norm(h1))
+    if Hm[2, 2] * s < 0:
+        s = -s
+    r0 = h0 * s
+    r1 = h1 * s
+    t = h2 * s
+    r2 = np.cross(r0, r1)
+    R = np.stack([r0, r1, r2], axis=1)
+    # project onto SO(3)
+    U, _, Vt = np.linalg.svd(R)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1, 1, -1]) @ Vt
+    return R, t
+
+
+def _refine_pnp_gn(rt0, p_board, q_norm, weights, iterations=20):
+    """Gauss-Newton refinement of an rt (board->cam) pose minimizing
+    weighted normalized-pinhole reprojection error."""
+    rt0 = jnp.asarray(rt0)
+    p_board = jnp.asarray(p_board)
+    q_norm = jnp.asarray(q_norm)
+    weights = jnp.asarray(weights)
+
+    def resid(rt):
+        p_cam = _transform_point_rt(rt, p_board)
+        qn = p_cam[..., :2] / p_cam[..., 2:3]
+        return ((qn - q_norm) * weights[..., None]).reshape(-1)
+
+    def body(rt, _):
+        r = resid(rt)
+        J = jax.jacfwd(resid)(rt)
+        JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=rt.dtype)
+        rt = rt - jnp.linalg.solve(JtJ, J.T @ r)
+        return rt, None
+
+    rt, _ = jax.lax.scan(body, rt0, None, length=iterations)
+    return rt
+
+
+def estimate_monocular_calobject_poses_Rt_tocam(indices_frame_camera,
+                                                observations,
+                                                object_spacing,
+                                                models_or_intrinsics):
+    """Per-observation board pose in camera coords (reference:
+    calibration.py:622).  Returns (Nobs, 4, 3) Rt_cam_board."""
+    from .synthetic_data import ref_calibration_object
+    observations = np.asarray(observations)
+    Nobs, H, W = observations.shape[:3]
+
+    intrinsics = []
+    for m in models_or_intrinsics:
+        if hasattr(m, "intrinsics"):
+            intrinsics.append(m.intrinsics())
+        else:
+            intrinsics.append(m)
+
+    board = ref_calibration_object(W, H, object_spacing)       # (H,W,3)
+    p_board_flat = board.reshape(-1, 3)
+
+    Rt_all = np.zeros((Nobs, 4, 3))
+    for i in range(Nobs):
+        icam = int(indices_frame_camera[i, 1])
+        lensmodel, intr = intrinsics[icam]
+        obs = observations[i].reshape(-1, 3)
+        q = obs[:, :2]
+        w = np.maximum(obs[:, 2], 0.0)
+        # unproject through the actual lens model -> normalized coords
+        v = np.asarray(unproject(q, lensmodel, intr))
+        q_norm = v[:, :2] / v[:, 2:3]
+        good = w > 0
+        if np.sum(good) < 6:
+            raise Exception(f"observation {i}: too few valid corners")
+        Hm = _homography_dlt(p_board_flat[good][:, :2], q_norm[good])
+        R, t = _pose_from_homography(Hm)
+        if t[2] < 0:      # board behind camera: flip (reference retry logic)
+            R = R @ np.diag([-1, -1, 1])
+            t = -t
+        rt0 = np.concatenate([np.asarray(_r_from_R(jnp.asarray(R))), t])
+        rt = np.asarray(_refine_pnp_gn(rt0, p_board_flat, q_norm, w))
+        Rt_all[i] = np.asarray(poseutils.Rt_from_rt(rt))
+    return Rt_all
+
+
+# ----------------------------------------------------------------------------
+# multi-camera joint seeding (reference: calibration.py:925-1397)
+# ----------------------------------------------------------------------------
+
+def _traverse_sensor_links(Ncameras, shared_frames):
+    """Dijkstra over the camera-connectivity graph: cost of an edge is
+    65536 - Nshared (reference: traverse-sensor-links.c:39-48).
+    Returns parent[] of the tree rooted at camera 0."""
+    import heapq
+    INF = float("inf")
+    dist = [INF] * Ncameras
+    parent = [-1] * Ncameras
+    dist[0] = 0
+    pq = [(0, 0)]
+    done = [False] * Ncameras
+    while pq:
+        d, u = heapq.heappop(pq)
+        if done[u]:
+            continue
+        done[u] = True
+        for v in range(Ncameras):
+            if v == u or shared_frames[u][v] == 0:
+                continue
+            cost = 65536 - shared_frames[u][v]
+            if d + cost < dist[v]:
+                dist[v] = d + cost
+                parent[v] = u
+                heapq.heappush(pq, (d + cost, v))
+    return parent
+
+
+def _estimate_camera_poses(calobject_poses_local_Rt_cf,
+                           indices_frame_camera, Ncameras):
+    """Pairwise camera poses averaged over shared frames, chained into
+    camera-0-referenced poses via the sensor-link graph
+    (reference: calibration.py:925)."""
+    Nobs = len(indices_frame_camera)
+    # group observations by frame
+    byframe = {}
+    for i in range(Nobs):
+        f, c = int(indices_frame_camera[i, 0]), int(indices_frame_camera[i, 1])
+        byframe.setdefault(f, {})[c] = calobject_poses_local_Rt_cf[i]
+
+    shared = [[0] * Ncameras for _ in range(Ncameras)]
+    for f, cams in byframe.items():
+        for c0 in cams:
+            for c1 in cams:
+                if c0 != c1:
+                    shared[c0][c1] += 1
+
+    parent = _traverse_sensor_links(Ncameras, shared)
+
+    def pairwise_Rt01(c0, c1):
+        """Average Rt_c0_c1 over shared frames."""
+        Rts = []
+        for f, cams in byframe.items():
+            if c0 in cams and c1 in cams:
+                Rt0 = cams[c0]
+                Rt1 = cams[c1]
+                Rts.append(np.asarray(poseutils.compose_Rt(
+                    jnp.asarray(Rt0), poseutils.invert_Rt(jnp.asarray(Rt1)))))
+        Rts = np.array(Rts)
+        # average: mean translation; rotation mean via quaternion mean
+        t = Rts[:, 3, :].mean(axis=0)
+        from .poseutils import quat_from_R, R_from_quat
+        qs = np.asarray(quat_from_R(jnp.asarray(Rts[:, :3, :])))
+        q = qs.mean(axis=0)
+        q /= np.linalg.norm(q)
+        R = np.asarray(R_from_quat(jnp.asarray(q)))
+        return np.concatenate([R, t[None]], axis=0)
+
+    Rt_0c = [None] * Ncameras           # camera c -> camera 0
+    Rt_0c[0] = np.asarray(poseutils.identity_Rt())
+    # fill in BFS order over the tree
+    pending = [c for c in range(1, Ncameras)]
+    while pending:
+        progressed = False
+        for c in list(pending):
+            p = parent[c]
+            if p < 0:
+                raise Exception(f"camera {c} not connected to camera 0")
+            if Rt_0c[p] is not None:
+                Rt_pc = pairwise_Rt01(p, c)
+                Rt_0c[c] = np.asarray(poseutils.compose_Rt(
+                    jnp.asarray(Rt_0c[p]), jnp.asarray(Rt_pc)))
+                pending.remove(c)
+                progressed = True
+        if not progressed:
+            raise Exception("camera connectivity graph is disconnected")
+    # Rt_cam_camera0: cameras relative to camera 0 == reference
+    return np.array([np.asarray(poseutils.invert_Rt(jnp.asarray(Rt)))
+                     for Rt in Rt_0c])   # Rt_c_0 for each camera
+
+
+def estimate_joint_frame_poses(calobject_Rt_camera_frame,
+                               extrinsics_Rt_fromref,
+                               indices_frame_camera,
+                               object_width_n, object_height_n,
+                               object_spacing):
+    """Combine per-camera board-pose estimates into one pose per frame
+    (reference: calibration.py:1186)."""
+    from .synthetic_data import ref_calibration_object
+    Nframes = int(np.max(indices_frame_camera[:, 0])) + 1
+    board = ref_calibration_object(object_width_n, object_height_n,
+                                   object_spacing)
+    p_board = board.reshape(-1, 3)
+
+    Rt_ref_frame = np.zeros((Nframes, 4, 3))
+    for f in range(Nframes):
+        ps_ref = []
+        for i in range(len(indices_frame_camera)):
+            if int(indices_frame_camera[i, 0]) != f:
+                continue
+            icam = int(indices_frame_camera[i, 1])
+            Rt_cf = calobject_Rt_camera_frame[i]
+            Rt_ref_cam = np.asarray(poseutils.invert_Rt(
+                jnp.asarray(extrinsics_Rt_fromref[icam])))
+            Rt_ref_frame_i = np.asarray(poseutils.compose_Rt(
+                jnp.asarray(Rt_ref_cam), jnp.asarray(Rt_cf)))
+            ps_ref.append(np.asarray(poseutils.transform_point_Rt(
+                jnp.asarray(Rt_ref_frame_i), jnp.asarray(p_board))))
+        ps_mean = np.mean(ps_ref, axis=0)
+        Rt = np.asarray(align_procrustes_points_Rt01(
+            jnp.asarray(ps_mean), jnp.asarray(p_board)))
+        Rt_ref_frame[f] = Rt
+    return Rt_ref_frame
+
+
+def seed_stereographic(imagersizes, focal_estimate,
+                       indices_frame_camera, observations,
+                       object_spacing):
+    """Full calibration seed assuming LENSMODEL_STEREOGRAPHIC intrinsics
+    (reference: calibration.py:1398).  Returns
+    (intrinsics_data, extrinsics_rt_fromref, frames_rt_toref)."""
+    imagersizes = np.asarray(imagersizes)
+    Ncameras = imagersizes.shape[0]
+    H, W = observations.shape[1:3]
+    focals = np.broadcast_to(np.asarray(focal_estimate, dtype=float),
+                             (Ncameras,))
+    intrinsics = np.array(
+        [[f, f, (imagersizes[i][0] - 1) / 2., (imagersizes[i][1] - 1) / 2.]
+         for i, f in enumerate(focals)])
+
+    models = [("LENSMODEL_STEREOGRAPHIC", intrinsics[i])
+              for i in range(Ncameras)]
+    Rt_cf = estimate_monocular_calobject_poses_Rt_tocam(
+        indices_frame_camera, observations, object_spacing, models)
+
+    if Ncameras > 1:
+        Rt_cam_ref = _estimate_camera_poses(Rt_cf, indices_frame_camera,
+                                            Ncameras)
+    else:
+        Rt_cam_ref = np.asarray(poseutils.identity_Rt())[None]
+
+    Rt_ref_frame = estimate_joint_frame_poses(
+        Rt_cf, Rt_cam_ref, indices_frame_camera, W, H, object_spacing)
+
+    # camera 0 is the reference: Ncameras-1 extrinsics entries
+    extrinsics_rt_fromref = np.array(
+        [np.asarray(poseutils.rt_from_Rt(jnp.asarray(Rt_cam_ref[i])))
+         for i in range(1, Ncameras)]).reshape(-1, 6)
+    frames_rt_toref = np.array(
+        [np.asarray(poseutils.rt_from_Rt(jnp.asarray(Rt)))
+         for Rt in Rt_ref_frame])
+    return intrinsics, extrinsics_rt_fromref, frames_rt_toref

@@ -1,0 +1,315 @@
+"""Model analysis: uncertainty quantification and model diffing.
+
+Reference: /root/reference/mrcal/model_analysis.py.  The reference leans on
+CHOLMOD factorization solves (solve_xt_JtJ_bt); here the same linear algebra
+runs as dense/block operations in JAX — calibration problems have a few
+thousand states, well within dense-Cholesky territory on the MXU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import _xla  # noqa: F401
+from . import poseutils
+from .projections import project, unproject
+
+
+# ----------------------------------------------------------------------------
+# noise-level estimation (reference: model_analysis.py:491)
+# ----------------------------------------------------------------------------
+
+def _observed_pixel_uncertainty_from_inputs(optimization_inputs, x=None):
+    """Estimate the pixel-observation noise from the residuals at the
+    optimum: sigma = sqrt( E[x^2] ) over inlier board+point measurements."""
+    from .optimize import optimizer_callback
+    from .optimize.layout import spec_from_inputs, normalize_inputs
+    kw = normalize_inputs(optimization_inputs)
+    spec = spec_from_inputs(**kw)
+    if x is None:
+        _, x, _ = optimizer_callback(no_jacobian=True, **kw)
+    x = np.asarray(x)
+
+    parts = []
+    if spec.Nobservations_board:
+        xb = x[:spec.num_measurements_boards]
+        w = np.asarray(kw["observations_board"])[..., 2].reshape(-1)
+        mask = np.repeat(w > 0, 2)
+        parts.append(xb[mask])
+    if spec.Nobservations_point:
+        xp = x[spec.measurement_index_points0:
+               spec.measurement_index_points0 + spec.num_measurements_points]
+        w = np.asarray(kw["observations_point"])[:, 2]
+        parts.append(xp[np.repeat(w > 0, 2)])
+    r = np.concatenate(parts) if parts else np.zeros(0)
+    if r.size == 0:
+        raise Exception("No inlier measurements; cannot estimate noise")
+    # Var(x) ~ sigma^2; the residuals are weighted, weights ~1 for inliers
+    return float(np.sqrt(np.mean(r * r)))
+
+
+# ----------------------------------------------------------------------------
+# covariance propagation core (reference: model_analysis.py:560)
+# ----------------------------------------------------------------------------
+
+def _propagate_calibration_uncertainty(dF_dbpacked=None,
+                                       x=None, J=None, factorization=None,
+                                       optimization_inputs=None,
+                                       observed_pixel_uncertainty=None,
+                                       what="covariance"):
+    """Var(F) = sigma^2 dF/db inv(JtJ) Jobs_t Jobs inv(JtJ) dF/db_t
+    (derivation: reference model_analysis.py:617-680).
+
+    dF_dbpacked: (..., N, Nstate).  Returns (..., N, N) covariance (or
+    worst-direction stdev / rms-stdev scalars per `what`)."""
+    from .optimize import optimizer_callback
+    from .optimize.layout import spec_from_inputs, normalize_inputs
+    if optimization_inputs is None:
+        raise Exception("optimization_inputs is required")
+    kw = normalize_inputs(optimization_inputs)
+    spec = spec_from_inputs(**kw)
+
+    if J is None:
+        _, x, J = optimizer_callback(**kw)
+    Jd = np.asarray(J.todense()) if hasattr(J, "todense") else np.asarray(J)
+
+    if observed_pixel_uncertainty is None:
+        observed_pixel_uncertainty = \
+            _observed_pixel_uncertainty_from_inputs(kw, x=x)
+
+    # observation rows (not regularization)
+    Nobs_meas = spec.measurement_index_regularization0
+    Jobs = Jd[:Nobs_meas]
+    JtJ = Jd.T @ Jd
+    # inv(JtJ) Jobs_t Jobs inv(JtJ), computed via Cholesky solves
+    L = np.linalg.cholesky(JtJ)
+
+    def solve_JtJ(B):
+        y = np.linalg.solve(L, B)
+        return np.linalg.solve(L.T, y)
+
+    dF = np.asarray(dF_dbpacked)
+    lead = dF.shape[:-1]
+    dF2 = dF.reshape(-1, dF.shape[-1])
+    A = solve_JtJ(dF2.T)                    # (Nstate, N)
+    M = Jobs @ A                            # (Nmeas_obs, N)
+    Var = (M.T @ M) * observed_pixel_uncertainty ** 2
+    # reshape back to (..., N, N) pairing rows of dF
+    n = dF.shape[-2] if dF.ndim >= 2 else 1
+    Var = Var.reshape(lead[:-1] + (lead[-1] if lead else n,) * 0 + Var.shape) \
+        if False else Var
+    if what == "covariance":
+        return Var
+    l, _ = np.linalg.eigh(Var)
+    if what == "worstdirection-stdev":
+        return float(np.sqrt(max(l.max(), 0)))
+    if what == "rms-stdev":
+        return float(np.sqrt(max(np.mean(l), 0)))
+    raise Exception(f"Unknown what='{what}'")
+
+
+def worst_direction_stdev(cov):
+    """sqrt of the largest eigenvalue of each (...,2,2) or (...,3,3) block
+    (reference: model_analysis.py:398)."""
+    cov = jnp.asarray(cov)
+    l = jnp.linalg.eigvalsh(cov)
+    return jnp.sqrt(jnp.maximum(l[..., -1], 0))
+
+
+# ----------------------------------------------------------------------------
+# projection uncertainty (reference: model_analysis.py:1192)
+# ----------------------------------------------------------------------------
+
+def projection_uncertainty(p_cam, model, *,
+                           method="mean-pcam",
+                           atinfinity=False,
+                           what="covariance",
+                           observed_pixel_uncertainty=None):
+    """Uncertainty of the projection of p_cam (camera coords) induced by the
+    calibration-time noise (reference: model_analysis.py:1192).
+
+    method='mean-pcam' implemented (the mrcal<3.0 default); the
+    cross-reprojection-ccp flavor lands with the K-matrix stage."""
+    if method not in ("mean-pcam",):
+        raise NotImplementedError(
+            f"projection_uncertainty method='{method}': "
+            "cross-reprojection lands in the uncertainty stage 2")
+
+    from .optimize.layout import spec_from_inputs, normalize_inputs
+    from .optimize.residuals import pack_params  # noqa: F401
+    kw = model.optimization_inputs()
+    if kw is None:
+        raise Exception("The model has no optimization_inputs; cannot "
+                        "compute uncertainty")
+    kw = normalize_inputs(kw)
+    spec = spec_from_inputs(**kw)
+    icam_i = model.icam_intrinsics()
+    from .optimize.layout import corresponding_icam_extrinsics
+    try:
+        icam_e = corresponding_icam_extrinsics(icam_i, **kw)
+    except Exception:
+        icam_e = -1
+
+    p_cam = jnp.asarray(p_cam, dtype=jnp.float64)
+    dt = p_cam.dtype
+    lensmodel = kw["lensmodel"]
+    intr = jnp.asarray(kw["intrinsics"][icam_i], dt)
+    ext = jnp.asarray(np.asarray(kw["extrinsics_rt_fromref"]), dt) \
+        if kw.get("extrinsics_rt_fromref") is not None and \
+        np.asarray(kw["extrinsics_rt_fromref"]).size else jnp.zeros((0, 6), dt)
+    frames = jnp.asarray(np.asarray(kw["frames_rt_toref"]), dt) \
+        if kw.get("frames_rt_toref") is not None else jnp.zeros((0, 6), dt)
+
+    scales = spec.scales()
+
+    # F(b) = project( T_cam_ref(b) . mean_f( T_ref_frame_f(b) .
+    #                 T_frame_ref0 . T_ref0_cam0 . p_cam ), intrinsics(b) )
+    # For mean-pcam: p is anchored to the frames; each frame "carries" the
+    # point, and we average the perturbed projections over frames
+    # (reference: model_analysis.py:873-1020, the 'mean-pcam' branch).
+    def F(b_packed_delta):
+        from .optimize.residuals import split_packed_state, arrays_from_inputs
+        from .optimize.residuals import pack_params, params_from_arrays
+        arrays = arrays_from_inputs(**kw)
+        params0 = params_from_arrays(arrays)
+        b0 = pack_params(params0, spec)
+        params = split_packed_state(b0 + b_packed_delta, arrays, spec)
+        intr_p = params["intrinsics"][icam_i]
+        if icam_e >= 0:
+            rt_cam_ref0 = jnp.asarray(
+                np.asarray(kw["extrinsics_rt_fromref"])[icam_e], dt)
+            rt_cam_ref_p = params["extrinsics"][icam_e]
+        else:
+            rt_cam_ref0 = jnp.zeros(6, dt)
+            rt_cam_ref_p = jnp.zeros(6, dt)
+        # reference point in the unperturbed ref frame
+        p_ref0 = poseutils._transform_point_rt(rt_cam_ref0, p_cam,
+                                               inverted=True)
+        if spec.Nframes:
+            # carry through each (unperturbed -> perturbed) frame, average
+            rt_f0 = jnp.asarray(np.asarray(kw["frames_rt_toref"]), dt)
+            p_frames = poseutils._transform_point_rt(
+                rt_f0[:, None] if p_ref0.ndim > 1 else rt_f0,
+                p_ref0, inverted=True)     # (Nframes, ..., 3)
+            p_ref_p = poseutils._transform_point_rt(
+                params["frames"][:, None] if p_ref0.ndim > 1
+                else params["frames"], p_frames)
+            p_ref_p = jnp.mean(p_ref_p, axis=0)
+        else:
+            p_ref_p = p_ref0
+        p_cam_p = poseutils._transform_point_rt(rt_cam_ref_p, p_ref_p)
+        from .lensmodels import project_core, parse_lensmodel
+        return project_core(p_cam_p, intr_p, parse_lensmodel(lensmodel))
+
+    b_zero = jnp.zeros(spec.Nstate, dt)
+    q0 = F(b_zero)
+    dF_db = jax.jacrev(F)(b_zero)          # (...,2,Nstate)
+    dF_db = np.asarray(dF_db).reshape(-1, 2, spec.Nstate)
+
+    Vars = []
+    for dF in dF_db:
+        Vars.append(_propagate_calibration_uncertainty(
+            dF, optimization_inputs=kw,
+            observed_pixel_uncertainty=observed_pixel_uncertainty,
+            what="covariance"))
+    Var = np.array(Vars).reshape(np.asarray(q0).shape[:-1] + (2, 2))
+    if what == "covariance":
+        return Var if Var.shape[:-2] else Var.reshape(2, 2)
+    if what == "worstdirection-stdev":
+        return np.asarray(worst_direction_stdev(Var))
+    if what == "rms-stdev":
+        l = np.linalg.eigvalsh(Var)
+        return np.sqrt(np.mean(l, axis=-1))
+    raise Exception(f"Unknown what='{what}'")
+
+
+# ----------------------------------------------------------------------------
+# model diffing (reference: model_analysis.py:27, :1520)
+# ----------------------------------------------------------------------------
+
+def implied_Rt10__from_unprojections(q0, p0, v1,
+                                     *, weights=None,
+                                     atinfinity=True,
+                                     focus_center=None, focus_radius=1e8):
+    """Find the implied transform Rt10 that best maps unprojections p0 (in
+    camera-0 coords) to observation directions v1 of camera 1
+    (reference: model_analysis.py:27).  Procrustes fit."""
+    from .utils import align_procrustes_vectors_R01, \
+        align_procrustes_points_Rt01
+    p0 = jnp.asarray(p0)
+    v1 = jnp.asarray(v1)
+    if weights is None:
+        weights = jnp.ones(p0.shape[:-1])
+    if focus_center is not None:
+        q0 = jnp.asarray(q0)
+        r2 = jnp.sum((q0 - jnp.asarray(focus_center)) ** 2, axis=-1)
+        weights = weights * (r2 <= focus_radius ** 2)
+    if atinfinity:
+        R10 = align_procrustes_vectors_R01(v1.reshape(-1, 3),
+                                           p0.reshape(-1, 3),
+                                           weights.reshape(-1))
+        return jnp.concatenate([R10, jnp.zeros((1, 3), p0.dtype)], axis=0)
+    return align_procrustes_points_Rt01(v1.reshape(-1, 3),
+                                        p0.reshape(-1, 3),
+                                        weights.reshape(-1))
+
+
+def projection_diff(models, *, gridn_width=60, gridn_height=None,
+                    distance=None, use_uncertainties=False,
+                    focus_center=None, focus_radius=-1,
+                    implied_Rt10=None):
+    """Difference in projection between N models (reference:
+    model_analysis.py:1520).  Returns (difflen, diff, q0, implied_Rt10)."""
+    from .utils import sample_imager_unproject
+    if len(models) != 2:
+        raise NotImplementedError("projection_diff supports 2 models here")
+    W, H = models[0].imagersize()
+    lens0, intr0 = models[0].intrinsics()
+    lens1, intr1 = models[1].intrinsics()
+    v0, q0 = sample_imager_unproject(gridn_width, gridn_height, W, H,
+                                     lens0, intr0, normalize=True)
+    atinfinity = distance is None
+    d = 1.0 if atinfinity else distance
+    p0 = v0 * d
+
+    if implied_Rt10 is None:
+        v1 = unproject(q0, lens1, intr1, normalize=True)
+        implied_Rt10 = implied_Rt10__from_unprojections(
+            q0, p0, v1, atinfinity=atinfinity,
+            focus_center=focus_center,
+            focus_radius=(focus_radius if focus_radius >= 0 else 1e8))
+
+    p1 = poseutils.transform_point_Rt(implied_Rt10, p0)
+    q1 = project(p1, lens1, intr1)
+    diff = q1 - q0
+    difflen = jnp.linalg.norm(diff, axis=-1)
+    return difflen, diff, q0, implied_Rt10
+
+
+def stereo_pair_diff(*args, **kwargs):
+    raise NotImplementedError("stereo_pair_diff lands with the diff stage 2")
+
+
+def is_within_valid_intrinsics_region(q, model):
+    """Which pixel coords q fall inside the model's valid-intrinsics region
+    (reference: model_analysis.py:2106)."""
+    region = model.valid_intrinsics_region()
+    if region is None:
+        return None
+    from matplotlib.path import Path
+    q = np.asarray(q)
+    path = Path(np.asarray(region))
+    return path.contains_points(q.reshape(-1, 2)).reshape(q.shape[:-1])
+
+
+def model_resolution__deg_pixel(model, gridn_width=40, gridn_height=None):
+    """Angular resolution over the imager (reference: model_analysis.py:2152).
+    Returns worst-case deg/pixel at each gridpoint."""
+    from .utils import sample_imager
+    W, H = model.imagersize()
+    q = sample_imager(gridn_width, gridn_height, W, H)
+    _, dv_dq, _ = unproject(q, *model.intrinsics(), normalize=True,
+                            get_gradients=True)
+    # singular values of dv/dq give rad/pixel
+    s = jnp.linalg.svd(dv_dq, compute_uv=False)
+    return np.asarray(s[..., 0]) * 180.0 / np.pi
