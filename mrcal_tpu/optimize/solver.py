@@ -228,10 +228,10 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
             obs = arrays["observations_board"]
             ifx = intr_full[ici]
 
-            r = jax.vmap(board_fn)(blocks, obs, ifx,
-                                   params["calobject_warp"])   # (Nobs, M)
-            J = jax.vmap(jacf(board_fn))(blocks, obs, ifx,
-                                         params["calobject_warp"])
+            r = jax.vmap(board_fn, in_axes=(0, 0, 0, None))(
+                blocks, obs, ifx, params["calobject_warp"])    # (Nobs, M)
+            J = jax.vmap(jacf(board_fn), in_axes=(0, 0, 0, None))(
+                blocks, obs, ifx, params["calobject_warp"])
             Ji = _zero_if(spec.Nintrinsics_state_per_cam > 0, J["intr"])
             Je = _zero_if(s.do_optimize_extrinsics, J["ext"])
             Jf = _zero_if(s.do_optimize_frames, J["frame"])
