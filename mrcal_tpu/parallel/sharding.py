@@ -1,0 +1,397 @@
+"""Observation-sharded bundle adjustment over a jax.sharding.Mesh.
+
+The reference has NO parallelism at all (single-threaded C; SURVEY §2.4) —
+this module is the net-new TPU-native scaling layer:
+
+  - the observation axis (frames x cameras) is sharded over the mesh's
+    'obs' axis (DP-analog);
+  - each device computes residuals + per-observation Jacobian blocks for
+    its shard and accumulates LOCAL normal-equation blocks;
+  - the small reduced blocks (camera-system Hcc/g_c, per-frame 6x6 blocks,
+    per-point 3x3 blocks) are psum'd over ICI — a few MB per LM iteration;
+  - the Schur reduction + dense solve runs replicated (it's tiny compared
+    to the Jacobian work).
+
+The per-observation assembly here uses dynamic scatter-adds (SPMD-uniform —
+no per-shard static grouping), so the same program runs on every device.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import _xla  # noqa: F401
+from ..optimize import layout as _layout
+from ..optimize.layout import ProblemSpec
+from ..optimize.solver import (_CLayout, _make_board_fn, _make_point_fn,
+                               _intr_scales, _EXT_SCALES, _FRAME_SCALES,
+                               _WARP_SCALES, _POINT_SCALES,
+                               _reg_per_camera, schur_step, _delta_to_b,
+                               _g_to_b)
+from ..optimize.residuals import split_packed_state
+
+_seg = jax.ops.segment_sum
+
+
+def make_mesh(n_devices=None, axis="obs"):
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
+                            mask_point):
+    """Normal-equation blocks from the LOCAL observation shard.  Pure SPMD
+    function: every contribution lands via dynamic scatter-add keyed by the
+    shard's index arrays.  mask_board/mask_point multiply residual rows
+    (used to zero out padding observations)."""
+    s = spec.selections
+    cl = _CLayout(spec)
+    Nf = spec.Nframes
+    Npv = spec.Npoints_variable
+    dt = b.dtype
+
+    params = split_packed_state(b, arrays, spec)
+    intr_full = params["intrinsics"]
+    iscales = jnp.asarray(_intr_scales(spec), dt)
+
+    def intr_state_packed(intr_rows):
+        cols = []
+        if spec.Ncore_state:
+            cols.append(intr_rows[..., :4])
+        if s.do_optimize_intrinsics_distortions:
+            cols.append(intr_rows[..., spec.Ncore:])
+        if not cols:
+            return jnp.zeros(intr_rows.shape[:-1] + (0,), dt)
+        return jnp.concatenate(cols, axis=-1) / iscales
+
+    intr_packed = intr_state_packed(intr_full)
+    ext_packed = params["extrinsics"] / jnp.asarray(_EXT_SCALES, dt)
+    ext_pad = jnp.concatenate([jnp.zeros((1, 6), dt), ext_packed], axis=0)
+    frames_packed = params["frames"] / jnp.asarray(_FRAME_SCALES, dt)
+    warp_packed = params["calobject_warp"] / jnp.asarray(_WARP_SCALES, dt)
+
+    Nc = cl.Nc
+    E = jnp.zeros((), dt)
+    g_c = jnp.zeros(Nc, dt)
+    Hcc = jnp.zeros((Nc, Nc), dt)
+    g_f = jnp.zeros((max(Nf, 1), 6), dt)
+    Hff = jnp.zeros((max(Nf, 1), 6, 6), dt)
+    Cf = jnp.zeros((max(Nf, 1), 6, Nc), dt)
+    g_p = jnp.zeros((max(Npv, 1), 3), dt)
+    Hpp = jnp.zeros((max(Npv, 1), 3, 3), dt)
+    Cp = jnp.zeros((max(Npv, 1), 3, Nc), dt)
+
+    if spec.Nobservations_board and arrays["observations_board"].shape[0]:
+        idx = arrays["indices_board"]
+        ifr, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+        Nobs_l = idx.shape[0]
+        blocks = dict(intr=intr_packed[ici], ext=ext_pad[ice + 1],
+                      frame=frames_packed[ifr],
+                      warp=jnp.broadcast_to(warp_packed, (Nobs_l, 2)))
+        obs = arrays["observations_board"]
+        ifx = intr_full[ici]
+        board_fn = _make_board_fn(spec)
+        r = jax.vmap(board_fn, in_axes=(0, 0, 0, None))(
+            blocks, obs, ifx, params["calobject_warp"])
+        J = jax.vmap(jax.jacrev(board_fn), in_axes=(0, 0, 0, None))(
+            blocks, obs, ifx, params["calobject_warp"])
+        r = r * mask_board[:, None]
+        Ji = J["intr"] * mask_board[:, None, None] \
+            if spec.Nintrinsics_state_per_cam else jnp.zeros_like(J["intr"])
+        Je = J["ext"] * (mask_board *
+                         (ice >= 0).astype(dt))[:, None, None] \
+            if s.do_optimize_extrinsics else jnp.zeros_like(J["ext"])
+        Jf = J["frame"] * mask_board[:, None, None] \
+            if s.do_optimize_frames else jnp.zeros_like(J["frame"])
+        Jw = J["warp"] * mask_board[:, None, None] \
+            if spec.has_calobject_warp else jnp.zeros_like(J["warp"])
+
+        E = E + jnp.sum(r * r)
+
+        # column start offsets per obs (dynamic)
+        coli = ici * cl.Nip
+        cole = cl.e0 + 6 * jnp.maximum(ice, 0)
+
+        def scat_gc(g_c, J1, col0, n):
+            gi = jnp.einsum("omi,om->oi", J1, r)
+            idxs = col0[:, None] + jnp.arange(n)[None, :]
+            return g_c.at[idxs].add(gi)
+
+        g_c = scat_gc(g_c, Ji, coli, cl.Nip) if cl.Nip else g_c
+        g_c = scat_gc(g_c, Je, cole, 6)
+        g_c = g_c.at[cl.w0:cl.w0 + 2].add(jnp.einsum("omi,om->i", Jw, r))
+        if Nf:
+            g_f = g_f.at[:Nf].add(
+                _seg(jnp.einsum("omi,om->oi", Jf, r), ifr, num_segments=Nf))
+            Hff = Hff.at[:Nf].add(
+                _seg(jnp.einsum("omi,omj->oij", Jf, Jf), ifr,
+                     num_segments=Nf))
+
+        def scat_H(H, JA, colA, nA, JB, colB, nB):
+            blk = jnp.einsum("omi,omj->oij", JA, JB)
+            ridx = (colA[:, None] + jnp.arange(nA)[None, :])[:, :, None]
+            cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
+            return H.at[ridx, cidx].add(blk)
+
+        if cl.Nip:
+            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Ji, coli, cl.Nip)
+            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Je, cole, 6)
+            Hcc = scat_H(Hcc, Je, cole, 6, Ji, coli, cl.Nip)
+            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Jw,
+                         jnp.full_like(coli, cl.w0), 2)
+            Hcc = scat_H(Hcc, Jw, jnp.full_like(coli, cl.w0), 2,
+                         Ji, coli, cl.Nip)
+        Hcc = scat_H(Hcc, Je, cole, 6, Je, cole, 6)
+        Hcc = scat_H(Hcc, Je, cole, 6, Jw, jnp.full_like(cole, cl.w0), 2)
+        Hcc = scat_H(Hcc, Jw, jnp.full_like(cole, cl.w0), 2, Je, cole, 6)
+        Hcc = Hcc.at[cl.w0:cl.w0 + 2, cl.w0:cl.w0 + 2].add(
+            jnp.einsum("omi,omj->ij", Jw, Jw))
+
+        if Nf:
+            # frame-cross rows: scatter into Cf (Nframes, 6, Nc)
+            def scat_Cf(Cf, JB, colB, nB):
+                blk = jnp.einsum("omi,omj->oij", Jf, JB)  # (o,6,nB)
+                fidx = ifr[:, None, None]
+                ridx = jnp.arange(6)[None, :, None]
+                cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
+                return Cf.at[fidx, ridx, cidx].add(blk)
+
+            if cl.Nip:
+                Cf = scat_Cf(Cf, Ji, coli, cl.Nip)
+            Cf = scat_Cf(Cf, Je, cole, 6)
+            Cf = scat_Cf(Cf, Jw, jnp.full_like(cole, cl.w0), 2)
+
+    if spec.Nobservations_point and arrays["observations_point"].shape[0]:
+        idx = arrays["indices_point"]
+        ipt, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+        mask_p = mask_point
+        points_packed = params["points"] / jnp.asarray(_POINT_SCALES, dt)
+        blocks = dict(intr=intr_packed[ici], ext=ext_pad[ice + 1],
+                      point=points_packed[ipt])
+        obs = arrays["observations_point"]
+        ifx = intr_full[ici]
+        point_fn = _make_point_fn(spec)
+        r = jax.vmap(point_fn)(blocks, obs, ifx) * mask_p[:, None]
+        J = jax.vmap(jax.jacrev(point_fn))(blocks, obs, ifx)
+        Ji = J["intr"] * mask_p[:, None, None] \
+            if spec.Nintrinsics_state_per_cam else jnp.zeros_like(J["intr"])
+        Je = J["ext"] * (mask_p * (ice >= 0).astype(dt))[:, None, None] \
+            if s.do_optimize_extrinsics else jnp.zeros_like(J["ext"])
+        Jp = J["point"] * (mask_p * (ipt < Npv).astype(dt))[:, None, None] \
+            if (s.do_optimize_frames and Npv) else jnp.zeros_like(J["point"])
+        E = E + jnp.sum(r * r)
+        coli = ici * cl.Nip
+        cole = cl.e0 + 6 * jnp.maximum(ice, 0)
+
+        def scat_gc(g_c, J1, col0, n):
+            gi = jnp.einsum("omi,om->oi", J1, r)
+            idxs = col0[:, None] + jnp.arange(n)[None, :]
+            return g_c.at[idxs].add(gi)
+
+        def scat_H(H, JA, colA, nA, JB, colB, nB):
+            blk = jnp.einsum("omi,omj->oij", JA, JB)
+            ridx = (colA[:, None] + jnp.arange(nA)[None, :])[:, :, None]
+            cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
+            return H.at[ridx, cidx].add(blk)
+
+        if cl.Nip:
+            g_c = scat_gc(g_c, Ji, coli, cl.Nip)
+            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Ji, coli, cl.Nip)
+            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Je, cole, 6)
+            Hcc = scat_H(Hcc, Je, cole, 6, Ji, coli, cl.Nip)
+        g_c = scat_gc(g_c, Je, cole, 6)
+        Hcc = scat_H(Hcc, Je, cole, 6, Je, cole, 6)
+        if Npv:
+            ipt_c = jnp.clip(ipt, 0, Npv - 1)
+            g_p = g_p.at[:Npv].add(
+                _seg(jnp.einsum("omi,om->oi", Jp, r), ipt_c,
+                     num_segments=Npv))
+            Hpp = Hpp.at[:Npv].add(
+                _seg(jnp.einsum("omi,omj->oij", Jp, Jp), ipt_c,
+                     num_segments=Npv))
+
+            def scat_Cp(Cp, JB, colB, nB):
+                blk = jnp.einsum("omi,omj->oij", Jp, JB)
+                fidx = ipt_c[:, None, None]
+                ridx = jnp.arange(3)[None, :, None]
+                cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
+                return Cp.at[fidx, ridx, cidx].add(blk)
+
+            if cl.Nip:
+                Cp = scat_Cp(Cp, Ji, coli, cl.Nip)
+            Cp = scat_Cp(Cp, Je, cole, 6)
+
+    return dict(E=E, g_c=g_c, g_f=g_f, g_p=g_p, Hcc=Hcc, Hff=Hff, Cf=Cf,
+                Hpp=Hpp, Cp=Cp)
+
+
+def _reg_contrib(spec: ProblemSpec, b, arrays):
+    """Regularization contributions (replicated; tiny)."""
+    cl = _CLayout(spec)
+    dt = b.dtype
+    s = spec.selections
+    params = split_packed_state(b, arrays, spec)
+    if not spec.num_measurements_regularization:
+        z = jnp.zeros((), dt)
+        return dict(E=z, g_c=jnp.zeros(cl.Nc, dt),
+                    Hcc=jnp.zeros((cl.Nc, cl.Nc), dt))
+    iscales = jnp.asarray(_intr_scales(spec), dt)
+
+    def intr_state_packed(row):
+        cols = []
+        if spec.Ncore_state:
+            cols.append(row[..., :4])
+        if s.do_optimize_intrinsics_distortions:
+            cols.append(row[..., spec.Ncore:])
+        return jnp.concatenate(cols, axis=-1) / iscales
+
+    from ..optimize.solver import _merge_intrinsics
+    targets = jnp.asarray(
+        [[(w - 1) * 0.5, (h - 1) * 0.5] for w, h in spec.imagersizes], dt)
+
+    def reg_fn(st, fx, tg):
+        return _reg_per_camera(_merge_intrinsics(st, fx, spec), spec, dt, tg)
+
+    stp = intr_state_packed(params["intrinsics"])
+    r = jax.vmap(reg_fn)(stp, params["intrinsics"], targets)
+    J = jax.vmap(jax.jacrev(reg_fn))(stp, params["intrinsics"], targets)
+    E = jnp.sum(r * r)
+    g_c = jnp.zeros(cl.Nc, dt)
+    Hcc = jnp.zeros((cl.Nc, cl.Nc), dt)
+    for ci in range(spec.Ncameras_intrinsics):
+        i0 = cl.coli(ci)
+        if cl.Nip:
+            g_c = g_c.at[i0:i0 + cl.Nip].add(J[ci].T @ r[ci])
+            Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(J[ci].T @ J[ci])
+    return dict(E=E, g_c=g_c, Hcc=Hcc)
+
+
+def sharded_normal_equations(spec: ProblemSpec, mesh, axis="obs"):
+    """Build the sharded normal-equation function: observation arrays shard
+    over `axis`, the block outputs are psum'd over ICI, and the (tiny)
+    regularization contribution is added replicated."""
+    from jax import shard_map
+
+    def make(arrays):
+        nonrep = dict(arrays)
+
+        # check_vma=False: with vma tracking on, reverse-mode AD w.r.t. the
+        # replicated parameter blocks auto-inserts a psum inside the local
+        # jacrev, double-counting once we psum the accumulated blocks
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(axis), P(axis), P(axis),
+                           P(axis), P(axis), P(axis)),
+                 out_specs=P(), check_vma=False)
+        def fn(b, obs_board, idx_board, mask_b, obs_point, idx_point,
+               mask_p):
+            arr = dict(nonrep)
+            arr["observations_board"] = obs_board
+            arr["indices_board"] = idx_board
+            arr["observations_point"] = obs_point
+            arr["indices_point"] = idx_point
+            ne = _local_normal_equations(spec, b, arr, mask_b, mask_p)
+            ne = jax.tree.map(partial(jax.lax.psum, axis_name=axis), ne)
+            reg = _reg_contrib(spec, b, arr)
+            ne["E"] = ne["E"] + reg["E"]
+            ne["g_c"] = ne["g_c"] + reg["g_c"]
+            ne["Hcc"] = ne["Hcc"] + reg["Hcc"]
+            return ne
+
+        return fn
+
+    return make
+
+
+def _pad_to(n, k):
+    return (n + k - 1) // k * k
+
+
+def sharded_lm_step(spec: ProblemSpec, mesh, axis="obs"):
+    """One jitted LM iteration over the mesh: normal equations (sharded) +
+    Schur solve (replicated)."""
+    def make(arrays):
+        ne_fn = sharded_normal_equations(spec, mesh, axis=axis)(arrays)
+
+        @jax.jit
+        def step(b, obs_board, idx_board, mask_b, obs_point, idx_point,
+                 mask_p, lam):
+            ne = ne_fn(b, obs_board, idx_board, mask_b,
+                       obs_point, idx_point, mask_p)
+            dc, df, dp = schur_step(ne, lam, spec)
+            db = _delta_to_b(dc, df, dp, spec)
+            g = _g_to_b(ne, spec)
+            pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
+            return b + db, ne["E"], pred, db
+
+        return step
+
+    return make
+
+
+def _padded_shard_arrays(arrays, n_dev):
+    """Pad the observation arrays to a multiple of the mesh size; padding
+    rows carry mask=0 (their residual rows vanish, preserving the math)."""
+    obs = np.asarray(arrays["observations_board"])
+    idx = np.asarray(arrays["indices_board"])
+    Nobs = obs.shape[0]
+    Npad = _pad_to(max(Nobs, 1), n_dev) if Nobs else n_dev
+    shp = obs.shape[1:] if Nobs else (1, 1, 3)
+    obs_p = np.zeros((Npad,) + shp, np.float64)
+    idx_p = np.zeros((Npad, 3), np.int32)
+    mask_b = np.zeros(Npad)
+    if Nobs:
+        obs_p[:Nobs] = obs
+        idx_p[:Nobs] = idx
+        mask_b[:Nobs] = 1.0
+
+    obsp = np.asarray(arrays["observations_point"])
+    idxp = np.asarray(arrays["indices_point"])
+    Np = obsp.shape[0]
+    Nppad = _pad_to(max(Np, 1), n_dev) if Np else n_dev
+    obsp_p = np.zeros((Nppad, 3), np.float64)
+    idxp_p = np.zeros((Nppad, 3), np.int32)
+    mask_p = np.zeros(Nppad)
+    if Np:
+        obsp_p[:Np] = obsp
+        idxp_p[:Np] = idxp
+        mask_p[:Np] = 1.0
+    return tuple(jnp.asarray(a) for a in
+                 (obs_p, idx_p, mask_b, obsp_p, idxp_p, mask_p))
+
+
+def sharded_lm_solve(spec: ProblemSpec, arrays, b0, mesh,
+                     max_iterations=50, update_threshold=1e-7):
+    """LM to convergence with observation sharding (host loop over the
+    jitted sharded step)."""
+    n_dev = mesh.devices.size
+    shard_args = _padded_shard_arrays(arrays, n_dev)
+    step_fn = sharded_lm_step(spec, mesh)(arrays)
+    b = jnp.asarray(b0)
+    lam = 1e-4
+    nu = 2.0
+
+    _, E0, _, _ = step_fn(b, *shard_args, lam)
+    E = float(E0)
+    for it in range(max_iterations):
+        b_try, _, pred, db = step_fn(b, *shard_args, lam)
+        _, E_try, _, _ = step_fn(b_try, *shard_args, lam)
+        E_try = float(E_try)
+        if E_try < E and np.isfinite(E_try):
+            small = float(jnp.max(jnp.abs(db))) < update_threshold
+            b = b_try
+            E = E_try
+            lam = max(lam / 3.0, 1e-14)
+            nu = 2.0
+            if small:
+                break
+        else:
+            lam *= nu
+            nu *= 2.0
+            if lam > 1e12:
+                break
+    return b, E

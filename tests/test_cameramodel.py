@@ -1,0 +1,91 @@
+"""cameramodel I/O: write/read round trips, extrinsics representations,
+optimization_inputs embedding (mirrors test-cameramodel.py)."""
+
+import io
+
+import numpy as np
+
+import mrcal_tpu as mrcal
+
+
+def _model():
+    intr = np.array([1512., 1510., 1200.5, 800.5, -0.01, 0.02, -0.001, 0.002])
+    return mrcal.cameramodel(
+        intrinsics=("LENSMODEL_OPENCV4", intr),
+        imagersize=(2400, 1600),
+        rt_cam_ref=np.array([0.1, -0.2, 0.05, 1.0, 2.0, -0.5]),
+        valid_intrinsics_region=np.array(
+            [[0, 0], [2399, 0], [2399, 1599], [0, 1599], [0, 0]], dtype=float))
+
+
+def test_write_read_roundtrip(tmp_path):
+    m = _model()
+    f = str(tmp_path / "cam.cameramodel")
+    m.write(f)
+    m2 = mrcal.cameramodel(f)
+    assert m2.intrinsics()[0] == m.intrinsics()[0]
+    assert np.allclose(m2.intrinsics()[1], m.intrinsics()[1])
+    assert np.allclose(m2.imagersize(), m.imagersize())
+    assert np.allclose(m2.extrinsics_rt_fromref(), m.extrinsics_rt_fromref())
+    assert np.allclose(m2.valid_intrinsics_region(),
+                       m.valid_intrinsics_region())
+
+
+def test_string_roundtrip():
+    m = _model()
+    s = str(m)
+    m2 = mrcal.cameramodel(io.StringIO(s))
+    assert np.allclose(m2.intrinsics()[1], m.intrinsics()[1])
+
+
+def test_extrinsics_representations():
+    m = _model()
+    rt_fromref = m.extrinsics_rt_fromref()
+    rt_toref = m.extrinsics_rt_toref()
+    assert np.allclose(np.asarray(mrcal.invert_rt(rt_toref)), rt_fromref,
+                       atol=1e-12)
+    Rt_fromref = m.extrinsics_Rt_fromref()
+    assert np.allclose(np.asarray(mrcal.rt_from_Rt(Rt_fromref)), rt_fromref,
+                       atol=1e-12)
+    # setters invert correctly
+    m.extrinsics_rt_toref(rt_toref)
+    assert np.allclose(m.extrinsics_rt_fromref(), rt_fromref, atol=1e-12)
+
+
+def test_optimization_inputs_embedding(tmp_path):
+    from test_calibration import make_scene, optimization_inputs_from_scene
+    scene = make_scene(Ncameras=1, Nframes=4)
+    oi = optimization_inputs_from_scene(scene, perturb=False)
+    oi_clean = {k: v for k, v in oi.items() if v is not None}
+    m = mrcal.cameramodel(optimization_inputs=oi_clean, icam_intrinsics=0)
+    f = str(tmp_path / "cam.cameramodel")
+    m.write(f)
+    m2 = mrcal.cameramodel(f)
+    oi2 = m2.optimization_inputs()
+    assert oi2["lensmodel"] == oi["lensmodel"]
+    assert np.allclose(oi2["intrinsics"], oi["intrinsics"])
+    assert np.allclose(oi2["observations_board"], oi["observations_board"])
+    assert np.allclose(oi2["frames_rt_toref"], oi["frames_rt_toref"])
+    assert m2.icam_intrinsics() == 0
+    # the embedded problem must be solvable as-is
+    assert mrcal.num_measurements(**oi2) == mrcal.num_measurements(**oi_clean)
+
+
+def test_cahvor_roundtrip(tmp_path):
+    intr = np.array([1512., 1510., 1200.5, 800.5,
+                     0.01, -0.02, -0.3, 0.01, -0.005])
+    m = mrcal.cameramodel(
+        intrinsics=("LENSMODEL_CAHVOR", intr),
+        imagersize=(2400, 1600),
+        rt_cam_ref=np.array([0.1, -0.2, 0.05, 1.0, 2.0, -0.5]))
+    f = str(tmp_path / "cam.cahvor")
+    m.write(f)
+    m2 = mrcal.cameramodel(f) if False else None
+    # read back through the cahvor reader
+    from mrcal_tpu import cahvor
+    m2 = cahvor.read(f)
+    assert m2.intrinsics()[0] == "LENSMODEL_CAHVOR"
+    assert np.allclose(m2.intrinsics()[1][:4], intr[:4], atol=1e-6)
+    assert np.allclose(m2.intrinsics()[1][4:], intr[4:], atol=1e-6)
+    assert np.allclose(m2.extrinsics_rt_fromref(), m.extrinsics_rt_fromref(),
+                       atol=1e-6)

@@ -1,0 +1,105 @@
+"""Stereo rectification geometry invariants (mirrors test-stereo.py):
+epipolar alignment, round-trip consistency, disparity->range."""
+
+import numpy as np
+import pytest
+
+import mrcal_tpu as mrcal
+
+
+@pytest.fixture
+def models():
+    intr = np.array([1100., 1100., 800., 600.],)
+    m0 = mrcal.cameramodel(intrinsics=("LENSMODEL_PINHOLE", intr),
+                           imagersize=(1600, 1200), rt_cam_ref=np.zeros(6))
+    # camera1: 20cm to the right, slightly rotated
+    m1 = mrcal.cameramodel(intrinsics=("LENSMODEL_PINHOLE", intr * 1.01),
+                           imagersize=(1600, 1200),
+                           rt_cam_ref=np.array([0.01, -0.02, 0.005,
+                                                -0.2, 0.003, 0.01]))
+    return m0, m1
+
+
+def test_rectified_system_geometry(models):
+    rect = mrcal.rectified_system(models, az_fov_deg=60, el_fov_deg=50)
+    lm, intr = rect[0].intrinsics()
+    assert lm == "LENSMODEL_LATLON"
+    # identical intrinsics for the pair
+    assert np.allclose(intr, rect[1].intrinsics()[1])
+    # rotation-only between each raw and its rectified camera:
+    for m, r in zip(models, rect):
+        Rt = np.asarray(mrcal.compose_Rt(m.Rt_cam_ref(), r.Rt_ref_cam()))
+        assert np.allclose(Rt[3], 0, atol=1e-9)
+    # baseline purely along the rectified x axis
+    Rt01 = np.asarray(mrcal.compose_Rt(rect[0].Rt_cam_ref(),
+                                       rect[1].Rt_ref_cam()))
+    t01 = Rt01[3]
+    assert abs(t01[1]) < 1e-9 and abs(t01[2]) < 1e-9
+    assert np.allclose(Rt01[:3], np.eye(3), atol=1e-9)
+
+
+def test_epipolar_alignment(models):
+    """A 3D point must project to the same row (el) in both rectified views."""
+    rect = mrcal.rectified_system(models, az_fov_deg=60, el_fov_deg=50)
+    np.random.seed(0)
+    p_rect0 = np.stack([np.random.uniform(-1, 1, 20),
+                        np.random.uniform(-0.8, 0.8, 20),
+                        np.random.uniform(2.0, 10.0, 20)], axis=-1)
+    Rt01 = np.asarray(mrcal.compose_Rt(rect[0].Rt_cam_ref(),
+                                       rect[1].Rt_ref_cam()))
+    p_rect1 = np.asarray(mrcal.transform_point_Rt(
+        np.asarray(mrcal.invert_Rt(Rt01)), p_rect0))
+    lm, intr = rect[0].intrinsics()
+    q0 = np.asarray(mrcal.project(p_rect0, lm, intr))
+    q1 = np.asarray(mrcal.project(p_rect1, lm, intr))
+    assert np.allclose(q0[:, 1], q1[:, 1], atol=1e-9)  # same elevation row
+
+
+def test_rectification_maps_consistency(models):
+    """Rectified pixel -> raw pixel maps: verify against direct projection."""
+    rect = mrcal.rectified_system(models, az_fov_deg=40, el_fov_deg=30)
+    maps = mrcal.rectification_maps(models, rect)
+    Naz, Nel = rect[0].imagersize()
+    assert maps.shape == (2, Nel, Naz, 2)
+    # center pixel: unproject rectified, transform, project raw
+    lm, intr = rect[0].intrinsics()
+    q_rect = np.array([Naz / 2.0, Nel / 2.0])
+    for i, m in enumerate(models):
+        v_rect = np.asarray(mrcal.unproject(q_rect, lm, intr))
+        R = np.asarray(mrcal.compose_Rt(m.Rt_cam_ref(),
+                                        rect[i].Rt_ref_cam()))[:3]
+        v_cam = R @ v_rect
+        q_raw = np.asarray(mrcal.project(v_cam, *m.intrinsics()))
+        iy, ix = int(q_rect[1]), int(q_rect[0])
+        # bilinear-sample the map at the center
+        assert np.allclose(maps[i, iy, ix], q_raw, atol=1.0)
+
+
+def test_stereo_range_roundtrip(models):
+    """Project a known point into both rectified views; the disparity must
+    yield the true range."""
+    rect = mrcal.rectified_system(models, az_fov_deg=60, el_fov_deg=50)
+    lm, intr = rect[0].intrinsics()
+    p_rect0 = np.array([0.3, -0.1, 5.0])
+    r_true = np.linalg.norm(p_rect0)
+    Rt01 = np.asarray(mrcal.compose_Rt(rect[0].Rt_cam_ref(),
+                                       rect[1].Rt_ref_cam()))
+    p_rect1 = np.asarray(mrcal.transform_point_Rt(
+        np.asarray(mrcal.invert_Rt(Rt01)), p_rect0))
+    q0 = np.asarray(mrcal.project(p_rect0, lm, intr))
+    q1 = np.asarray(mrcal.project(p_rect1, lm, intr))
+    disparity = q0[0] - q1[0]
+    r = float(np.asarray(mrcal.stereo_range(
+        np.array([[disparity]]), rect, qrect0=np.array([[q0]]))))
+    assert np.isclose(r, r_true, rtol=1e-6)
+
+
+def test_stereo_unproject(models):
+    rect = mrcal.rectified_system(models, az_fov_deg=60, el_fov_deg=50)
+    lm, intr = rect[0].intrinsics()
+    p_rect0 = np.array([0.3, -0.1, 5.0])
+    q0 = np.asarray(mrcal.project(p_rect0, lm, intr))
+    r_true = np.linalg.norm(p_rect0)
+    p = np.asarray(mrcal.stereo_unproject(
+        None, rect, ranges=np.array(r_true), qrect0=q0))
+    assert np.allclose(p, p_rect0, atol=1e-9)
