@@ -86,5 +86,23 @@ from .image_transforms import ( # noqa: F401
     transform_image,
     scale_focal__best_pinhole_fit,
 )
+from .image import load_image, save_image, apply_color_map  # noqa: F401
+from .visualization import (  # noqa: F401
+    show_geometry,
+    show_projection_diff,
+    show_projection_uncertainty,
+    show_projection_uncertainty_vs_distance,
+    show_distortion_off_pinhole,
+    show_distortion_off_pinhole_radial,
+    show_valid_intrinsics_region,
+    show_splined_model_correction,
+    show_residuals_board_observation,
+    show_residuals_histogram,
+    show_residuals_vectorfield,
+    show_residuals_magnitudes,
+    show_residuals_directions,
+    show_residuals_regional,
+    annotate_image__valid_intrinsics_region,
+)
 
 __version__ = "0.1.0"

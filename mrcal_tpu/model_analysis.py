@@ -89,22 +89,23 @@ def _propagate_calibration_uncertainty(dF_dbpacked=None,
         return np.linalg.solve(L.T, y)
 
     dF = np.asarray(dF_dbpacked)
-    lead = dF.shape[:-1]
+    if dF.ndim == 1:
+        dF = dF[None]
+    lead = dF.shape[:-2]          # (...,)
+    n = dF.shape[-2]              # rows per covariance block (e.g. 2)
     dF2 = dF.reshape(-1, dF.shape[-1])
-    A = solve_JtJ(dF2.T)                    # (Nstate, N)
-    M = Jobs @ A                            # (Nmeas_obs, N)
-    Var = (M.T @ M) * observed_pixel_uncertainty ** 2
-    # reshape back to (..., N, N) pairing rows of dF
-    n = dF.shape[-2] if dF.ndim >= 2 else 1
-    Var = Var.reshape(lead[:-1] + (lead[-1] if lead else n,) * 0 + Var.shape) \
-        if False else Var
+    A = solve_JtJ(dF2.T)                    # (Nstate, M*n)
+    M = Jobs @ A                            # (Nmeas_obs, M*n)
+    M = M.reshape(Nobs_meas, -1, n)         # (Nmeas_obs, M, n)
+    Var = np.einsum("mia,mib->iab", M, M) * observed_pixel_uncertainty ** 2
+    Var = Var.reshape(lead + (n, n)) if lead else Var[0]
     if what == "covariance":
         return Var
-    l, _ = np.linalg.eigh(Var)
+    l = np.linalg.eigvalsh(Var)
     if what == "worstdirection-stdev":
-        return float(np.sqrt(max(l.max(), 0)))
+        return np.sqrt(np.maximum(l[..., -1], 0))
     if what == "rms-stdev":
-        return float(np.sqrt(max(np.mean(l), 0)))
+        return np.sqrt(np.maximum(np.mean(l, axis=-1), 0))
     raise Exception(f"Unknown what='{what}'")
 
 
@@ -203,16 +204,13 @@ def projection_uncertainty(p_cam, model, *,
 
     b_zero = jnp.zeros(spec.Nstate, dt)
     q0 = F(b_zero)
-    dF_db = jax.jacrev(F)(b_zero)          # (...,2,Nstate)
-    dF_db = np.asarray(dF_db).reshape(-1, 2, spec.Nstate)
-
-    Vars = []
-    for dF in dF_db:
-        Vars.append(_propagate_calibration_uncertainty(
-            dF, optimization_inputs=kw,
-            observed_pixel_uncertainty=observed_pixel_uncertainty,
-            what="covariance"))
-    Var = np.array(Vars).reshape(np.asarray(q0).shape[:-1] + (2, 2))
+    dF_db = np.asarray(jax.jacrev(F)(b_zero)).reshape(
+        np.asarray(q0).shape[:-1] + (2, spec.Nstate))
+    Var = _propagate_calibration_uncertainty(
+        dF_db, optimization_inputs=kw,
+        observed_pixel_uncertainty=observed_pixel_uncertainty,
+        what="covariance")
+    Var = np.asarray(Var).reshape(np.asarray(q0).shape[:-1] + (2, 2))
     if what == "covariance":
         return Var if Var.shape[:-2] else Var.reshape(2, 2)
     if what == "worstdirection-stdev":

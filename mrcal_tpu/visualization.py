@@ -1,0 +1,400 @@
+"""Visualization suite (reference: /root/reference/mrcal/visualization.py,
+4,247 LoC of gnuplotlib).  Rebuilt on matplotlib: every function returns the
+Figure and accepts hardcopy=<path> to save it.  The data side runs through
+the JAX kernels."""
+
+import numpy as np
+
+from . import _xla  # noqa: F401
+from . import poseutils
+from .projections import project, unproject
+from .utils import sample_imager, sample_imager_unproject
+
+
+def _finish(fig, hardcopy):
+    if hardcopy:
+        fig.savefig(hardcopy, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def _new_axes(title=None, _3d=False):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(111, projection="3d" if _3d else None)
+    if title:
+        ax.set_title(title)
+    return fig, ax
+
+
+def show_geometry(models_or_extrinsics_rt_fromref,
+                  *, frames_rt_toref=None, points=None,
+                  cameranames=None, axis_scale=1.0,
+                  object_width_n=None, object_height_n=None,
+                  object_spacing=None,
+                  title="Camera geometry", hardcopy=None, **kwargs):
+    """3D plot of cameras / frames / points (reference: visualization.py:25)."""
+    fig, ax = _new_axes(title, _3d=True)
+    rts = []
+    for m in models_or_extrinsics_rt_fromref:
+        if hasattr(m, "extrinsics_rt_fromref"):
+            rts.append(np.asarray(m.extrinsics_rt_fromref()))
+        else:
+            rts.append(np.asarray(m).reshape(6))
+    for i, rt in enumerate(rts):
+        Rt_ref_cam = np.asarray(poseutils.invert_Rt(
+            np.asarray(poseutils.Rt_from_rt(rt))))
+        origin = Rt_ref_cam[3]
+        for j, color in enumerate("rgb"):
+            axis = Rt_ref_cam[j] * axis_scale
+            ax.plot([origin[0], origin[0] + axis[0]],
+                    [origin[1], origin[1] + axis[1]],
+                    [origin[2], origin[2] + axis[2]], color)
+        name = cameranames[i] if cameranames else f"cam{i}"
+        ax.text(*origin, name)
+    if frames_rt_toref is not None and object_width_n:
+        from .synthetic_data import ref_calibration_object
+        board = ref_calibration_object(object_width_n, object_height_n,
+                                       object_spacing)
+        for rt in np.asarray(frames_rt_toref):
+            pts = np.asarray(poseutils.transform_point_rt(
+                rt, board.reshape(-1, 3)))
+            ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], ".", markersize=1,
+                    alpha=0.4)
+    if points is not None:
+        points = np.asarray(points)
+        ax.plot(points[:, 0], points[:, 1], points[:, 2], "k.", markersize=2)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    return _finish(fig, hardcopy)
+
+
+def show_projection_diff(models, *, gridn_width=60, gridn_height=None,
+                         distance=None, vectorfield=False,
+                         cbmax=4, title=None, hardcopy=None, **kwargs):
+    """Heatmap/vectorfield of the projection difference between models
+    (reference: visualization.py:1039)."""
+    from .model_analysis import projection_diff
+    difflen, diff, q0, Rt10 = projection_diff(
+        models, gridn_width=gridn_width, gridn_height=gridn_height,
+        distance=distance)
+    difflen = np.asarray(difflen)
+    q0 = np.asarray(q0)
+    fig, ax = _new_axes(title or "Projection diff (pixels)")
+    if vectorfield:
+        diff = np.asarray(diff)
+        ax.quiver(q0[..., 0], q0[..., 1], diff[..., 0], diff[..., 1])
+        ax.invert_yaxis()
+    else:
+        im = ax.imshow(difflen, origin="upper", vmin=0, vmax=cbmax,
+                       extent=(q0[..., 0].min(), q0[..., 0].max(),
+                               q0[..., 1].max(), q0[..., 1].min()))
+        fig.colorbar(im, ax=ax)
+    return _finish(fig, hardcopy), difflen
+
+
+def show_projection_uncertainty(model, *, gridn_width=30, gridn_height=None,
+                                distance=None, isotropic=False,
+                                cbmax=3, title=None, hardcopy=None,
+                                observed_pixel_uncertainty=None, **kwargs):
+    """Heatmap of projection uncertainty over the imager
+    (reference: visualization.py:1668)."""
+    from .model_analysis import projection_uncertainty
+    W, H = model.imagersize()
+    v, q = sample_imager_unproject(gridn_width, gridn_height, W, H,
+                                   *model.intrinsics(), normalize=True)
+    d = distance if distance is not None else 1e5
+    p_cam = np.asarray(v) * d
+    what = "rms-stdev" if isotropic else "worstdirection-stdev"
+    unc = projection_uncertainty(
+        p_cam.reshape(-1, 3), model, method="mean-pcam", what=what,
+        observed_pixel_uncertainty=observed_pixel_uncertainty)
+    unc = np.asarray(unc).reshape(np.asarray(q).shape[:-1])
+    fig, ax = _new_axes(title or f"Projection uncertainty (pixels), "
+                        f"distance={distance}")
+    q = np.asarray(q)
+    im = ax.imshow(unc, origin="upper", vmin=0, vmax=cbmax,
+                   extent=(q[..., 0].min(), q[..., 0].max(),
+                           q[..., 1].max(), q[..., 1].min()))
+    fig.colorbar(im, ax=ax)
+    return _finish(fig, hardcopy), unc
+
+
+def show_projection_uncertainty_vs_distance(
+        model, *, where="centroid", distance_min=0.2, distance_max=100.0,
+        Ndistances=40, title=None, hardcopy=None, **kwargs):
+    """Uncertainty as a function of range along one observation ray
+    (reference: visualization.py:1959)."""
+    from .model_analysis import projection_uncertainty
+    W, H = model.imagersize()
+    if isinstance(where, str):
+        q = np.array([(W - 1) / 2, (H - 1) / 2])
+    else:
+        q = np.asarray(where)
+    v = np.asarray(unproject(q, *model.intrinsics(), normalize=True))
+    distances = np.geomspace(distance_min, distance_max, Ndistances)
+    p = v[None, :] * distances[:, None]
+    unc = projection_uncertainty(p, model, method="mean-pcam",
+                                 what="worstdirection-stdev")
+    fig, ax = _new_axes(title or "Uncertainty vs distance")
+    ax.semilogx(distances, np.asarray(unc))
+    ax.set_xlabel("distance [m]")
+    ax.set_ylabel("worst-direction stdev [pixels]")
+    ax.grid(True)
+    return _finish(fig, hardcopy), np.asarray(unc)
+
+
+def show_distortion_off_pinhole(model, *, vectorfield=False, gridn_width=60,
+                                gridn_height=None, cbmax=25.0,
+                                title=None, hardcopy=None, **kwargs):
+    """How much the projection deviates from the pinhole core
+    (reference: visualization.py:2157)."""
+    lensmodel, intr = model.intrinsics()
+    W, H = model.imagersize()
+    v, q = sample_imager_unproject(gridn_width, gridn_height, W, H,
+                                   lensmodel, intr)
+    q_pinhole = np.asarray(project(np.asarray(v), "LENSMODEL_PINHOLE",
+                                   np.asarray(intr[:4])))
+    q = np.asarray(q)
+    diff = q_pinhole - q
+    fig, ax = _new_axes(title or "Distortion off pinhole (pixels)")
+    if vectorfield:
+        ax.quiver(q[..., 0], q[..., 1], diff[..., 0], diff[..., 1])
+        ax.invert_yaxis()
+    else:
+        difflen = np.linalg.norm(diff, axis=-1)
+        im = ax.imshow(difflen, origin="upper", vmin=0, vmax=cbmax,
+                       extent=(q[..., 0].min(), q[..., 0].max(),
+                               q[..., 1].max(), q[..., 1].min()))
+        fig.colorbar(im, ax=ax)
+    return _finish(fig, hardcopy)
+
+
+def show_distortion_off_pinhole_radial(model, *, title=None, hardcopy=None,
+                                       **kwargs):
+    """Radial distortion profile (reference: visualization.py:2404)."""
+    lensmodel, intr = model.intrinsics()
+    W, H = model.imagersize()
+    fx, fy, cx, cy = np.asarray(intr)[:4]
+    # sample along the diagonal from the center
+    t = np.linspace(0, 1, 100)
+    q = np.stack([cx + t * (W - 1 - cx), cy + t * (H - 1 - cy)], axis=-1)
+    v = np.asarray(unproject(q, lensmodel, intr))
+    th = np.degrees(np.arctan2(np.linalg.norm(v[:, :2], axis=-1), v[:, 2]))
+    r_obs = np.linalg.norm((q - [cx, cy]) / [fx, fy], axis=-1)
+    r_pinhole = np.tan(np.radians(th))
+    fig, ax = _new_axes(title or "Radial distortion")
+    ax.plot(th, r_obs - r_pinhole)
+    ax.set_xlabel("angle off the optical axis [deg]")
+    ax.set_ylabel("normalized radial distortion delta")
+    ax.grid(True)
+    return _finish(fig, hardcopy)
+
+
+def show_valid_intrinsics_region(models, *, image=None, title=None,
+                                 hardcopy=None, **kwargs):
+    """Plot the valid-intrinsics region(s) (reference: visualization.py:2566)."""
+    if hasattr(models, "intrinsics"):
+        models = [models]
+    fig, ax = _new_axes(title or "Valid-intrinsics region")
+    if image is not None:
+        arr = image if isinstance(image, np.ndarray) else None
+        if arr is None:
+            from .image import load_image
+            arr = load_image(image)
+        ax.imshow(arr, cmap="gray")
+    for m in models:
+        r = m.valid_intrinsics_region()
+        if r is not None:
+            ax.plot(r[:, 0], r[:, 1], "-")
+    return _finish(fig, hardcopy)
+
+
+def show_splined_model_correction(model, *, vectorfield=False,
+                                  gridn_width=60, gridn_height=None,
+                                  title=None, hardcopy=None, **kwargs):
+    """The spline deltau correction surface (reference: visualization.py:2711)."""
+    from .lensmodels import (parse_lensmodel, splined_deltau,
+                             stereographic_uv)
+    lensmodel, intr = model.intrinsics()
+    lm = parse_lensmodel(lensmodel)
+    if lm.family != "LENSMODEL_SPLINED_STEREOGRAPHIC":
+        raise Exception("show_splined_model_correction requires a splined "
+                        "model")
+    W, H = model.imagersize()
+    v, q = sample_imager_unproject(gridn_width, gridn_height, W, H,
+                                   lensmodel, intr)
+    import jax.numpy as jnp
+    u = stereographic_uv(jnp.asarray(v))
+    coeffs = jnp.asarray(intr[4:]).reshape(lm.Ny, lm.Nx, 2)
+    du = np.asarray(splined_deltau(u, coeffs, lm))
+    q = np.asarray(q)
+    fig, ax = _new_axes(title or "Splined model correction deltau")
+    if vectorfield:
+        ax.quiver(q[..., 0], q[..., 1], du[..., 0], du[..., 1])
+        ax.invert_yaxis()
+    else:
+        im = ax.imshow(np.linalg.norm(du, axis=-1), origin="upper",
+                       extent=(q[..., 0].min(), q[..., 0].max(),
+                               q[..., 1].max(), q[..., 1].min()))
+        fig.colorbar(im, ax=ax)
+    return _finish(fig, hardcopy)
+
+
+# ----------------------------------------------------------------------------
+# residual analysis suite (reference: visualization.py:3223-4090)
+# ----------------------------------------------------------------------------
+
+def _board_residuals(optimization_inputs, x=None, icam_intrinsics=None):
+    from .optimize import optimizer_callback
+    from .optimize.layout import spec_from_inputs, normalize_inputs
+    kw = normalize_inputs(optimization_inputs)
+    spec = spec_from_inputs(**kw)
+    if x is None:
+        _, x, _ = optimizer_callback(no_jacobian=True, **kw)
+    H = spec.calibration_object_height_n
+    W = spec.calibration_object_width_n
+    res = np.asarray(x[:spec.num_measurements_boards]).reshape(-1, H, W, 2)
+    obs = np.asarray(kw["observations_board"])
+    idx = np.asarray(kw["indices_frame_camintrinsics_camextrinsics"])
+    if icam_intrinsics is not None:
+        sel = idx[:, 1] == icam_intrinsics
+        res, obs, idx = res[sel], obs[sel], idx[sel]
+    return res, obs, idx
+
+
+def show_residuals_board_observation(optimization_inputs, i_observation,
+                                     *, vectorscale=20, title=None,
+                                     hardcopy=None, **kwargs):
+    """Residual vectorfield for ONE board observation
+    (reference: visualization.py:3223)."""
+    res, obs, idx = _board_residuals(optimization_inputs)
+    fig, ax = _new_axes(title or f"Residuals: observation {i_observation}")
+    o = obs[i_observation]
+    r = res[i_observation]
+    ax.quiver(o[..., 0], o[..., 1], r[..., 0], r[..., 1],
+              np.linalg.norm(r, axis=-1))
+    ax.invert_yaxis()
+    return _finish(fig, hardcopy)
+
+
+def show_residuals_histogram(optimization_inputs, *, icam_intrinsics=None,
+                             binwidth=0.02, title=None, hardcopy=None,
+                             **kwargs):
+    """Residual histogram + gaussian fit (reference: visualization.py:3486)."""
+    res, obs, idx = _board_residuals(optimization_inputs, None,
+                                     icam_intrinsics)
+    inlier = obs[..., 2] > 0
+    r = res[inlier].ravel()
+    fig, ax = _new_axes(title or "Residual histogram")
+    ax.hist(r, bins=np.arange(r.min(), r.max() + binwidth, binwidth),
+            density=True, alpha=0.7)
+    s = r.std()
+    xs = np.linspace(r.min(), r.max(), 200)
+    ax.plot(xs, np.exp(-xs * xs / (2 * s * s)) / np.sqrt(2 * np.pi * s * s))
+    ax.set_xlabel("residual [pixels]")
+    return _finish(fig, hardcopy)
+
+
+def show_residuals_vectorfield(optimization_inputs, *, icam_intrinsics=None,
+                               vectorscale=20, title=None, hardcopy=None,
+                               **kwargs):
+    """All residuals as a vectorfield over the imager
+    (reference: visualization.py:3713)."""
+    res, obs, idx = _board_residuals(optimization_inputs, None,
+                                     icam_intrinsics)
+    inlier = obs[..., 2] > 0
+    q = obs[..., :2][inlier]
+    r = res[inlier]
+    fig, ax = _new_axes(title or "Residual vectorfield")
+    ax.quiver(q[:, 0], q[:, 1], r[:, 0], r[:, 1],
+              np.linalg.norm(r, axis=-1))
+    ax.invert_yaxis()
+    return _finish(fig, hardcopy)
+
+
+def show_residuals_magnitudes(optimization_inputs, *, icam_intrinsics=None,
+                              cbmax=None, title=None, hardcopy=None,
+                              **kwargs):
+    """Residual magnitudes as a scatter over the imager
+    (reference: visualization.py:3843)."""
+    res, obs, idx = _board_residuals(optimization_inputs, None,
+                                     icam_intrinsics)
+    inlier = obs[..., 2] > 0
+    q = obs[..., :2][inlier]
+    mag = np.linalg.norm(res[inlier], axis=-1)
+    fig, ax = _new_axes(title or "Residual magnitudes")
+    sc = ax.scatter(q[:, 0], q[:, 1], c=mag, s=4, vmax=cbmax)
+    fig.colorbar(sc, ax=ax)
+    ax.invert_yaxis()
+    return _finish(fig, hardcopy)
+
+
+def show_residuals_directions(optimization_inputs, *, icam_intrinsics=None,
+                              title=None, hardcopy=None, **kwargs):
+    """Residual directions over the imager (reference: visualization.py:3965)."""
+    res, obs, idx = _board_residuals(optimization_inputs, None,
+                                     icam_intrinsics)
+    inlier = obs[..., 2] > 0
+    q = obs[..., :2][inlier]
+    th = np.degrees(np.arctan2(res[inlier][:, 1], res[inlier][:, 0]))
+    fig, ax = _new_axes(title or "Residual directions")
+    sc = ax.scatter(q[:, 0], q[:, 1], c=th, cmap="hsv", s=4,
+                    vmin=-180, vmax=180)
+    fig.colorbar(sc, ax=ax)
+    ax.invert_yaxis()
+    return _finish(fig, hardcopy)
+
+
+def show_residuals_regional(optimization_inputs, *, icam_intrinsics=None,
+                            gridn_width=20, gridn_height=None,
+                            title=None, hardcopy=None, **kwargs):
+    """Mean residual magnitude binned over imager regions
+    (reference: visualization.py:4090)."""
+    from .optimize.layout import spec_from_inputs, normalize_inputs
+    kw = normalize_inputs(optimization_inputs)
+    spec = spec_from_inputs(**kw)
+    res, obs, idx = _board_residuals(kw, None, icam_intrinsics)
+    W, H = spec.imagersizes[0]
+    if gridn_height is None:
+        gridn_height = int(round(H / W * gridn_width))
+    inlier = obs[..., 2] > 0
+    q = obs[..., :2][inlier]
+    mag = np.linalg.norm(res[inlier], axis=-1)
+    gx = np.clip((q[:, 0] / W * gridn_width).astype(int), 0, gridn_width - 1)
+    gy = np.clip((q[:, 1] / H * gridn_height).astype(int), 0,
+                 gridn_height - 1)
+    sums = np.zeros((gridn_height, gridn_width))
+    counts = np.zeros((gridn_height, gridn_width))
+    np.add.at(sums, (gy, gx), mag)
+    np.add.at(counts, (gy, gx), 1)
+    mean = np.where(counts > 0, sums / np.maximum(counts, 1), np.nan)
+    fig, ax = _new_axes(title or "Regional mean residual [pixels]")
+    im = ax.imshow(mean, origin="upper")
+    fig.colorbar(im, ax=ax)
+    return _finish(fig, hardcopy), mean
+
+
+def annotate_image__valid_intrinsics_region(image, model, *, color=(0, 0, 255)):
+    """Draw the valid-intrinsics region into a BGR image in place
+    (reference: visualization.py:3101)."""
+    region = model.valid_intrinsics_region()
+    if region is None:
+        return image
+    pts = np.asarray(region).astype(int)
+    for i in range(len(pts) - 1):
+        _draw_line(image, pts[i], pts[i + 1], color)
+    return image
+
+
+def _draw_line(img, p0, p1, color):
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1))
+    xs = np.linspace(p0[0], p1[0], n + 1).astype(int)
+    ys = np.linspace(p0[1], p1[1], n + 1).astype(int)
+    ok = (xs >= 0) & (xs < img.shape[1]) & (ys >= 0) & (ys < img.shape[0])
+    if img.ndim == 3:
+        img[ys[ok], xs[ok]] = color
+    else:
+        img[ys[ok], xs[ok]] = color[0]
