@@ -277,22 +277,41 @@ def _shape0(a):
     return 0 if a is None else int(np.asarray(a).shape[0])
 
 
-def _triangulated_set_sizes(observations_point_triangulated):
-    """Sets are delimited by the last_in_set flag (column semantics follow
-    mrcal_observation_point_triangulated_t)."""
-    if observations_point_triangulated is None:
+def _triangulated_set_sizes(indices_point_triangulated):
+    """Sets of observations of one triangulated point, delimited by the
+    ipoint column of the index array: consecutive rows with the same ipoint
+    form one set (reference: mrcal-pywrap.c fill_c_observations_point_
+    triangulated / _finish_triangulated_set)."""
+    if indices_point_triangulated is None:
         return ()
-    flags = [bool(o["last_in_set"]) for o in observations_point_triangulated] \
-        if isinstance(observations_point_triangulated, (list, tuple)) else \
-        list(np.asarray(observations_point_triangulated["last_in_set"]))
+    ipt = np.asarray(indices_point_triangulated)[:, 0]
     sizes = []
     n = 0
-    for f in flags:
+    for i in range(len(ipt)):
         n += 1
-        if f:
+        if i == len(ipt) - 1 or ipt[i + 1] != ipt[i]:
             sizes.append(n)
             n = 0
+    for s in sizes:
+        if s < 2:
+            raise ValueError(
+                "each triangulated point must be observed at least twice")
     return tuple(sizes)
+
+
+def triangulated_pair_indices(set_sizes):
+    """Static (i0, i1) observation-index pairs for every pairwise
+    measurement, in the reference's order (outer i0, inner i1 within a set;
+    mrcal.c:5196-5290)."""
+    i0s, i1s = [], []
+    base = 0
+    for n in set_sizes:
+        for a in range(n):
+            for b in range(a + 1, n):
+                i0s.append(base + a)
+                i1s.append(base + b)
+        base += n
+    return np.asarray(i0s, np.int32), np.asarray(i1s, np.int32)
 
 
 def spec_from_inputs(**kw):
@@ -321,7 +340,7 @@ def spec_from_inputs(**kw):
         Nobservations_board=Nobs_board,
         Nobservations_point=_shape0(kw.get("observations_point")),
         triangulated_set_sizes=_triangulated_set_sizes(
-            kw.get("observations_point_triangulated")),
+            kw.get("indices_point_triangulated_camintrinsics_camextrinsics")),
         calibration_object_width_n=W,
         calibration_object_height_n=H,
         calibration_object_spacing=float(

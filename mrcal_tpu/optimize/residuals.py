@@ -62,7 +62,30 @@ def arrays_from_inputs(**kw):
                        is None else
                        jnp.asarray(kw["indices_point_camintrinsics_camextrinsics"],
                                    dtype=jnp.int32)),
+        observations_point_triangulated=arr(
+            "observations_point_triangulated", (3,)),
+        indices_triangulated=(
+            jnp.zeros((0, 3), jnp.int32)
+            if kw.get("indices_point_triangulated_camintrinsics_camextrinsics")
+            is None else
+            jnp.asarray(
+                kw["indices_point_triangulated_camintrinsics_camextrinsics"],
+                dtype=jnp.int32)),
     )
+    # Pre-unproject the triangulated-point pixel observations into direction
+    # vectors using the FIXED intrinsics (triangulated solves require
+    # do_optimize_intrinsics*=False; reference: mrcal.c:6260-6275 and
+    # mrcal-pywrap.c fill_c_observations_point_triangulated)
+    if out["observations_point_triangulated"].shape[0]:
+        from ..lensmodels import unproject_core, parse_lensmodel
+        lm = parse_lensmodel(kw["lensmodel"])
+        q = out["observations_point_triangulated"][:, :2]
+        ici = out["indices_triangulated"][:, 1]
+        v = unproject_core(q, out["intrinsics"][ici], lm)
+        out["px_triangulated"] = \
+            v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    else:
+        out["px_triangulated"] = jnp.zeros((0, 3), dt)
     return out
 
 
@@ -220,16 +243,51 @@ def residuals_regularization(params, arrays, spec: ProblemSpec):
     return jnp.concatenate(parts)
 
 
+def residuals_triangulated(params, arrays, spec: ProblemSpec):
+    """Triangulated-point pairwise ray-divergence measurements
+    (reference: mrcal.c:5196-5654).  One SCALAR measurement per observation
+    pair within each set; requires fixed intrinsics (the observation pixel
+    coords are pre-unprojected into direction vectors px).
+    Returns (Npairs,)."""
+    if not spec.num_measurements_points_triangulated:
+        return jnp.zeros((0,), params["intrinsics"].dtype)
+    from ..triangulation import _triangulated_error
+    from .layout import triangulated_pair_indices
+    from ..poseutils import _rotate_point_r
+
+    px = arrays["px_triangulated"]                      # (N,3) direction vecs
+    idx = arrays["indices_triangulated"]                # (N,3)
+    w = arrays["observations_point_triangulated"][:, 2]
+    ice = idx[:, 2]
+    i0, i1 = triangulated_pair_indices(spec.triangulated_set_sizes)
+    i0 = jnp.asarray(i0)
+    i1 = jnp.asarray(i1)
+
+    ext_pad = _ext_padded(params["extrinsics"])
+    rt_0r = ext_pad[ice[i0] + 1]                        # (Npairs,6)
+    rt_1r = ext_pad[ice[i1] + 1]
+    v0 = px[i0]
+    v1 = px[i1]
+    # v0 in the ref frame; camera-0 origin in the ref frame
+    v0_ref = _rotate_point_r(rt_0r[:, :3], v0, inverted=True)
+    t_r0 = -_rotate_point_r(rt_0r[:, :3], rt_0r[:, 3:], inverted=True)
+    # ... and into camera-1 coords
+    v0_cam1 = _rotate_point_r(rt_1r[:, :3], v0_ref)
+    t_10 = _rotate_point_r(rt_1r[:, :3], t_r0) + rt_1r[:, 3:]
+    err = _triangulated_error(v1, v0_cam1, t_10)
+    # either observation marked outlier (weight<=0) kills the measurement
+    valid = (w[i0] > 0) & (w[i1] > 0)
+    return jnp.where(valid, err, 0.0)
+
+
 def residuals_full(params, arrays, spec: ProblemSpec):
     """The complete measurement vector x, ordering identical to the reference
     (boards -> points -> triangulated -> regularization)."""
-    if spec.num_measurements_points_triangulated:
-        raise NotImplementedError(
-            "triangulated-point measurements land with the SfM stage")
     xb = residuals_board(params, arrays, spec).reshape(-1)
     xp = residuals_point(params, arrays, spec).reshape(-1)
+    xt = residuals_triangulated(params, arrays, spec)
     xr = residuals_regularization(params, arrays, spec)
-    return jnp.concatenate([xb, xp, xr])
+    return jnp.concatenate([xb, xp, xt, xr])
 
 
 # ----------------------------------------------------------------------------

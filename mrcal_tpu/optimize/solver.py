@@ -354,6 +354,26 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
                                  jnp.clip(ipt[oid], 0, Npv - 1),
                                  num_segments=Npv))
 
+        # ---------------- triangulated-point pairs ----------------
+        x_tri = jnp.zeros((0,), dt)
+        if spec.num_measurements_points_triangulated:
+            from .residuals import residuals_triangulated
+
+            def xtri_of_ext(ext_p):
+                prm = dict(params)
+                prm["extrinsics"] = ext_p * jnp.asarray(_EXT_SCALES, dt)
+                return residuals_triangulated(prm, arrays, spec)
+
+            x_tri = xtri_of_ext(ext_packed)
+            E = E + jnp.sum(x_tri * x_tri)
+            if s.do_optimize_extrinsics and spec.Ncameras_extrinsics:
+                # triangulated measurements touch ONLY extrinsics; their
+                # Jacobian block is small (Npairs x 6 Nce) -> dense
+                Jt = jax.jacfwd(xtri_of_ext)(ext_packed)
+                Jt2 = Jt.reshape(x_tri.shape[0], -1)
+                Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(Jt2.T @ Jt2)
+                g_c = g_c.at[cl.e0:cl.w0].add(Jt2.T @ x_tri)
+
         # ---------------- regularization ----------------
         x_reg = jnp.zeros((0,), dt)
         if spec.num_measurements_regularization:
@@ -404,7 +424,8 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
 
         return dict(E=E, g_c=g_c, g_f=g_f, g_p=g_p, Hcc=Hcc, Hff=Hff,
                     Cf=Cf, Hpp=Hpp, Cp=Cp,
-                    x_board=x_board, x_point=x_point, x_reg=x_reg)
+                    x_board=x_board, x_point=x_point, x_tri=x_tri,
+                    x_reg=x_reg)
 
     return f
 
@@ -624,8 +645,6 @@ def optimize(**kw):
     kw = _layout.normalize_inputs(kw)
     verbose = bool(kw.get("verbose", False))
     spec = spec_from_inputs(**kw)
-    if spec.num_measurements_points_triangulated:
-        raise NotImplementedError("triangulated-point solves: later stage")
 
     # mutable numpy views of the caller's arrays
     np_obs_board = np.asarray(kw["observations_board"]) \
@@ -668,6 +687,7 @@ def optimize(**kw):
 
     x = np.concatenate([np.asarray(ne["x_board"]).ravel(),
                         np.asarray(ne["x_point"]).ravel(),
+                        np.asarray(ne["x_tri"]).ravel(),
                         np.asarray(ne["x_reg"]).ravel()])
     stats = dict(
         rms_reproj_error__pixels=float(

@@ -368,6 +368,10 @@ def sharded_lm_solve(spec: ProblemSpec, arrays, b0, mesh,
                      max_iterations=50, update_threshold=1e-7):
     """LM to convergence with observation sharding (host loop over the
     jitted sharded step)."""
+    if spec.num_measurements_points_triangulated:
+        raise NotImplementedError(
+            "triangulated-point measurements in the sharded path: use the "
+            "host solver (mrcal_tpu.optimize.solver) for now")
     n_dev = mesh.devices.size
     shard_args = _padded_shard_arrays(arrays, n_dev)
     step_fn = sharded_lm_step(spec, mesh)(arrays)

@@ -301,14 +301,53 @@ def triangulate_lindstrom(v0, v1, Rt01, *, get_gradients=False, out=None):
     return _fin((m, j0, j1, jRt), out)
 
 
-def _triangulated_error(v0, v1_cam1, t10, r_1_0=None):
+def _angle_error_small(v0, v1):
+    """Small-angle error between two rays: th ~ sqrt(2 (1 - |cos th|))
+    (reference: triangulation.cc angle_error__assume_small).  The tiny
+    epsilon keeps the sqrt differentiable at perfect convergence."""
+    costh = _dot(v0, v1) / jnp.sqrt(_dot(v0, v0) * _dot(v1, v1))
+    costh = jnp.abs(costh)
+    th_sq = jnp.maximum(2.0 - 2.0 * costh, 0.0)
+    return jnp.sqrt(th_sq + 1e-24)
+
+
+def _sigmoid_knee(x, knee):
+    """Smooth 0..1 ramp over [0, knee] (reference: triangulation.cc:900)."""
+    a = 2.0 / (knee * knee)
+    b = 2.0 / knee
+    dx = x - knee / 2.0
+    lower = a * dx * dx + b * dx + 0.5
+    upper = -a * dx * dx + b * dx + 0.5
+    mid = jnp.where(x < knee / 2.0, lower, upper)
+    return jnp.where(x <= 0.0, 0.0, jnp.where(x >= knee, 1.0, mid))
+
+
+def _chirality_worsenings(l0, v0, l1, v1, t01):
+    x_nom = l1[..., None] * v1 + t01 - l0[..., None] * v0
+    x0 = l1[..., None] * v1 + t01 + l0[..., None] * v0
+    x1 = -l1[..., None] * v1 + t01 - l0[..., None] * v0
+    x01 = -l1[..., None] * v1 + t01 + l0[..., None] * v0
+    nom2 = _dot(x_nom, x_nom)
+    return (_dot(x0, x0) - nom2, _dot(x1, x1) - nom2,
+            _dot(x01, x01) - nom2)
+
+
+def _triangulated_error(v0, v1, t01):
     """The scalar ray-divergence measurement used by triangulated-point
-    solves (reference: triangulation.cc:959 _mrcal_triangulated_error):
-    the angle_error between the two rays after mid2-style reconstruction."""
-    # v0 rotated into camera-1 frame must be supplied by the caller as
-    # v1_cam1's counterpart; here we use the distance between the
-    # closest-approach points normalized by distance (small-angle error)
-    raise NotImplementedError("lands with the triangulated-point solve stage")
+    solves (reference: triangulation.cc _mrcal_triangulated_error):
+    2x the small-angle error between v0 and the mid2 reconstruction, with a
+    smooth divergence penalty when chirality fails."""
+    p = jnp.cross(v0, v1)
+    p_norm2 = _dot(p, p)
+    l0 = jnp.sqrt(_dot(jnp.cross(v1, t01), jnp.cross(v1, t01)) / p_norm2)
+    l1 = jnp.sqrt(_dot(jnp.cross(v0, t01), jnp.cross(v0, t01)) / p_norm2)
+    m = (v0 * l0[..., None] + t01 + v1 * l1[..., None]) / 2.0
+    err = _angle_error_small(v0, m) * 2.0
+    w0, w1, w01 = _chirality_worsenings(l0, v0, l1, v1, t01)
+    err_vanish = _angle_error_small(v0, v1)
+    penalty = (_sigmoid_knee(-w0, 3.0) + _sigmoid_knee(-w1, 3.0)
+               + _sigmoid_knee(-w01, 3.0))
+    return err + err_vanish * penalty
 
 
 def triangulate(q, models, *, stabilize_coords=True,
