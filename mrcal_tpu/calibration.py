@@ -87,7 +87,11 @@ def compute_chessboard_corners(W, H, *,
         corners = rows[fname]
         if len(corners) != W * H:
             continue
-        key = re.sub(r"[^0-9]", "", fname) or fname
+        # frame pairing across cameras: the FIRST digit group in the
+        # filename is the frame number (reference pairs by filename frame
+        # numbers too: utils.py:788 mapping_file_framenocameraindex)
+        mnum = re.search(r"[0-9]+", fname)
+        key = mnum.group(0) if mnum else fname
         frames.setdefault(key, len(frames))
         obs = np.array(corners).reshape(H, W, 3)
         observations.append(obs)

@@ -557,12 +557,27 @@ def _g_to_b(ne, spec: ProblemSpec):
 # LM driver
 # ----------------------------------------------------------------------------
 
+def _cast_arrays(arrays, dtype):
+    """Cast the float arrays of the problem to `dtype` (ints unchanged)."""
+    def cast(x):
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return {k: cast(v) for k, v in arrays.items()}
+
+
 def lm_solve(spec: ProblemSpec, arrays, b0,
-             max_iterations=300, update_threshold=1e-7, verbose=False):
+             max_iterations=300, update_threshold=1e-7, verbose=False,
+             dtype=None):
     """Levenberg-Marquardt to convergence.  Host loop over jitted device
-    steps.  Returns (b, E, niter, ne_last)."""
+    steps.  Returns (b, E, niter, ne_last).
+
+    dtype: run the iteration in this precision (mixed-precision pipelines
+    run an f32 phase for speed, then an f64 polish; the packing scales keep
+    the problem well-conditioned enough for f32 normal equations)."""
     static_idx = dict(board=np.asarray(arrays["indices_board"]),
                       point=np.asarray(arrays["indices_point"]))
+    if dtype is not None:
+        arrays = _cast_arrays(arrays, dtype)
+        b0 = jnp.asarray(b0, dtype)
     ne_fn = jax.jit(build_normal_equations(spec, arrays, static_idx))
     step_fn = jax.jit(partial(schur_step, spec=spec))
 
@@ -589,8 +604,10 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         if verbose:
             print(f"iter {it}: E={E:.6e} Enew={E_new:.6e} lam={lam:.2e} "
                   f"rho={rho:.3f} |db|={float(jnp.max(jnp.abs(db))):.2e}")
+        eff_threshold = max(update_threshold,
+                            1e-5 if b.dtype == jnp.float32 else 0.0)
         if E_new < E and np.isfinite(E_new):
-            step_small = float(jnp.max(jnp.abs(db))) < update_threshold \
+            step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
                 if db.size else True
             b, ne, E = b_new, ne_new, E_new
             lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3) \
@@ -654,10 +671,21 @@ def optimize(**kw):
     params = params_from_arrays(arrays)
     b = pack_params(params, spec)
 
+    mixed_precision = bool(kw.get("mixed_precision", False))
+
     total_niter = 0
     Noutliers = 0
     while True:
-        b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose)
+        if mixed_precision:
+            # fast f32 phase to (approximate) convergence, f64 polish after
+            b32, _, niter32, _ = lm_solve(spec, arrays, b, verbose=verbose,
+                                          dtype=jnp.float32)
+            b = jnp.asarray(b32, jnp.float64)
+            b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose,
+                                       max_iterations=50)
+            niter += niter32
+        else:
+            b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose)
         total_niter += niter
         if not (spec.selections.do_apply_outlier_rejection
                 and spec.Nobservations_board):

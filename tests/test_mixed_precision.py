@@ -1,0 +1,30 @@
+"""Mixed-precision solve: f32 LM phase + f64 polish must land at the same
+optimum as the pure-f64 solve (the TPU production path)."""
+
+import numpy as np
+
+import mrcal_tpu as mrcal
+
+from test_calibration import make_scene, optimization_inputs_from_scene
+
+
+def test_mixed_precision_matches_f64():
+    scene = make_scene(Ncameras=2, Nframes=14, model="LENSMODEL_OPENCV4")
+    oi64 = optimization_inputs_from_scene(scene, perturb=True)
+    np.random.seed(21)
+    noise = np.random.randn(*oi64["observations_board"][..., :2].shape) * 0.25
+    oi64["observations_board"][..., :2] += noise
+
+    oimx = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
+            for k, v in oi64.items()}
+
+    stats64 = mrcal.optimize(**oi64)
+    statsmx = mrcal.optimize(mixed_precision=True, **oimx)
+
+    # same optimum to f64-polish accuracy (reference gate: drms < 1e-6 px)
+    drms = abs(stats64["rms_reproj_error__pixels"]
+               - statsmx["rms_reproj_error__pixels"])
+    assert drms < 1e-6, drms
+    assert np.allclose(oi64["intrinsics"], oimx["intrinsics"], atol=1e-4)
+    assert np.allclose(oi64["extrinsics_rt_fromref"],
+                       oimx["extrinsics_rt_fromref"], atol=1e-6)
