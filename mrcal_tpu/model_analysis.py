@@ -129,12 +129,18 @@ def projection_uncertainty(p_cam, model, *,
     """Uncertainty of the projection of p_cam (camera coords) induced by the
     calibration-time noise (reference: model_analysis.py:1192).
 
-    method='mean-pcam' implemented (the mrcal<3.0 default); the
-    cross-reprojection-ccp flavor lands with the K-matrix stage."""
+    Methods: 'mean-pcam' (mrcal<3.0 default) and 'cross-reprojection-ccp'
+    (mrcal>=3.0 default: the implied rigid reference perturbation
+    rt_cam*_cam* = Kpacked db is propagated; reference:
+    model_analysis.py:1265-1410 + uncertainty.c)."""
+    if method == "cross-reprojection-ccp":
+        return _projection_uncertainty_ccp(
+            p_cam, model, atinfinity=atinfinity, what=what,
+            observed_pixel_uncertainty=observed_pixel_uncertainty)
     if method not in ("mean-pcam",):
         raise NotImplementedError(
-            f"projection_uncertainty method='{method}': "
-            "cross-reprojection lands in the uncertainty stage 2")
+            f"projection_uncertainty method='{method}' "
+            "(have: mean-pcam, cross-reprojection-ccp)")
 
     from .optimize.layout import spec_from_inputs, normalize_inputs
     from .optimize.residuals import pack_params  # noqa: F401
@@ -218,6 +224,71 @@ def projection_uncertainty(p_cam, model, *,
     if what == "rms-stdev":
         l = np.linalg.eigvalsh(Var)
         return np.sqrt(np.mean(l, axis=-1))
+    raise Exception(f"Unknown what='{what}'")
+
+
+def _projection_uncertainty_ccp(p_cam, model, *, atinfinity, what,
+                                observed_pixel_uncertainty):
+    """cross-reprojection-ccp: dq/db = dq/dintrinsics (own columns)
+    + dq/d(rt_cam*_cam*) Kpacked, with Kpacked from the cross-reprojection
+    solve (reference: model_analysis.py:1317-1410)."""
+    from .optimize.layout import spec_from_inputs, normalize_inputs
+    from .optimize.residuals import drt_cross_reprojection__dbpacked
+    from .poseutils import skew_symmetric
+    from .projections import project as _project
+
+    kw = model.optimization_inputs()
+    if kw is None:
+        raise Exception("The model has no optimization_inputs")
+    kw = normalize_inputs(kw)
+    spec = spec_from_inputs(**kw)
+    icam = model.icam_intrinsics() or 0
+    lensmodel = kw["lensmodel"]
+    intr = np.asarray(kw["intrinsics"])[icam]
+
+    Kpacked = drt_cross_reprojection__dbpacked(icam_intrinsics=icam, **kw)
+
+    p_cam = np.asarray(p_cam, dtype=np.float64)
+    lead = p_cam.shape[:-1]
+    p2 = p_cam.reshape(-1, 3)
+    _, dq_dpcam, dq_dintr = _project(p2, lensmodel, intr, get_gradients=True)
+    dq_dpcam = np.asarray(dq_dpcam)          # (N,2,3)
+    dq_dintr = np.asarray(dq_dintr)          # (N,2,Nintr)
+
+    N = len(p2)
+    dq_db = np.zeros((N, 2, spec.Nstate))
+    # intrinsics columns (packed: multiply by the per-variable scales)
+    if spec.Nintrinsics_state_per_cam:
+        from .optimize.solver import _intr_scales
+        i0 = spec.state_index_intrinsics0 + \
+            icam * spec.Nintrinsics_state_per_cam
+        cols = []
+        if spec.Ncore_state:
+            cols.append(dq_dintr[..., :4])
+        if spec.selections.do_optimize_intrinsics_distortions:
+            cols.append(dq_dintr[..., spec.Ncore:])
+        dq_dintr_state = np.concatenate(cols, axis=-1) * _intr_scales(spec)
+        dq_db[..., i0:i0 + spec.Nintrinsics_state_per_cam] = dq_dintr_state
+
+    # rigid-perturbation columns via Kpacked
+    dpcamp_dr = np.asarray(skew_symmetric(p2))          # (N,3,3)
+    dq_dr = np.einsum("nij,njk->nik", dq_dpcam, dpcamp_dr)
+    dq_db += np.einsum("nik,km->nim", dq_dr, Kpacked[:3, :])
+    if not atinfinity:
+        dq_db -= np.einsum("nik,km->nim", dq_dpcam, Kpacked[3:, :])
+
+    Var = _propagate_calibration_uncertainty(
+        dq_db, optimization_inputs=kw,
+        observed_pixel_uncertainty=observed_pixel_uncertainty,
+        what="covariance")
+    Var = np.asarray(Var).reshape(lead + (2, 2))
+    if what == "covariance":
+        return Var if lead else Var.reshape(2, 2)
+    l = np.linalg.eigvalsh(Var)
+    if what == "worstdirection-stdev":
+        return np.sqrt(np.maximum(l[..., -1], 0))
+    if what == "rms-stdev":
+        return np.sqrt(np.maximum(np.mean(l, axis=-1), 0))
     raise Exception(f"Unknown what='{what}'")
 
 

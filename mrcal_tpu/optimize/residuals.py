@@ -390,3 +390,93 @@ def optimizer_callback(no_jacobian=False, no_factorization=True, **kw):
     Jdense = jax.jacrev(lambda bb: residuals_from_packed(bb, arrays, spec))(b)
     J = scipy.sparse.csr_matrix(np.asarray(Jdense))
     return np.asarray(b), np.asarray(x), J
+
+
+# ----------------------------------------------------------------------------
+# cross-reprojection machinery (reference: uncertainty.c N9)
+# ----------------------------------------------------------------------------
+
+def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec, rt_cam_star_ref):
+    """Observation residuals with a rigid reference perturbation inserted:
+    rt_ref_ref* is the conjugate of rt_cam*_cam* (=rt_cc, expressed in the
+    query camera's frame) between every camera and frame transform
+    (reference: uncertainty.c:22-130; the 'ccp' flavor).
+
+    Returns the boards+points measurement rows only (the rows Jcross is
+    built from)."""
+    from ..poseutils import _invert_rt
+    params = split_packed_state(b, arrays, spec)
+    # rt_ref_ref* = rt_ref_cam* . rt_cam*_cam*' . rt_cam*_ref
+    rt_ref_refp = _compose_rt2(
+        _invert_rt(rt_cam_star_ref),
+        _compose_rt2(rt_cc, rt_cam_star_ref))
+
+    parts = []
+    if spec.Nobservations_board:
+        obs = arrays["observations_board"]
+        idx = arrays["indices_board"]
+        iframe, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+        rt_cam_ref = _ext_padded(params["extrinsics"])[ice + 1]
+        rt_ref_frame = _compose_rt2(
+            jnp.broadcast_to(rt_ref_refp, (idx.shape[0], 6)),
+            params["frames"][iframe])
+        rt_joint = _compose_rt2(rt_cam_ref, rt_ref_frame)
+        pts = board_points_ref(spec, params["calobject_warp"])
+        p_cam = _transform_point_rt(rt_joint[:, None, None, :], pts[None])
+        intr = params["intrinsics"][ici][:, None, None, :]
+        q = project_core(p_cam, intr, spec.lensmodel)
+        w = jnp.maximum(obs[..., 2], 0.0)
+        parts.append(((q - obs[..., :2]) * w[..., None]).reshape(-1))
+    if spec.Nobservations_point:
+        obs = arrays["observations_point"]
+        idx = arrays["indices_point"]
+        ipt, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+        p_ref = _transform_point_rt(rt_ref_refp, params["points"][ipt])
+        rt_cam_ref = _ext_padded(params["extrinsics"])[ice + 1]
+        p_cam = _transform_point_rt(rt_cam_ref, p_ref)
+        q = project_core(p_cam, params["intrinsics"][ici], spec.lensmodel)
+        w = jnp.where(obs[..., 2] > 0.0, obs[..., 2], 0.0)
+        parts.append(((q - obs[..., :2]) * w[..., None]).reshape(-1))
+    if not parts:
+        return jnp.zeros((0,), b.dtype)
+    return jnp.concatenate(parts)
+
+
+def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
+    """Kpacked (6, Nstate): the linear map from packed state perturbations
+    to the implied rigid transform rt_cam*_cam* of the query camera's frame
+    (reference: uncertainty.c:798 _mrcal_drt_cross_reprojection__dbpacked;
+    flavor 'ccp').
+
+      Kpacked = -inv(Jcross_t Jcross) Jcross_t J_packed[frames,points,cw]
+    """
+    import jax
+    from .layout import spec_from_inputs, normalize_inputs, \
+        corresponding_icam_extrinsics
+    kw = normalize_inputs(kw)
+    spec = spec_from_inputs(**kw)
+    arrays = arrays_from_inputs(**kw)
+    params = params_from_arrays(arrays)
+    b = pack_params(params, spec)
+
+    try:
+        icam_e = corresponding_icam_extrinsics(icam_intrinsics, **kw)
+    except Exception:
+        icam_e = -1
+    rt_csr = (params["extrinsics"][icam_e] if icam_e >= 0
+              else jnp.zeros(6, b.dtype))
+
+    Jcross = jax.jacfwd(
+        lambda rt: residuals_cross(rt, b, arrays, spec, rt_csr))(
+        jnp.zeros(6, b.dtype))                     # (Nmeas_obs, 6)
+
+    # dense packed Jacobian of the measurement rows; keep only the
+    # frame/point/calobject_warp columns
+    Jdense = jax.jacrev(lambda bb: residuals_from_packed(bb, arrays, spec))(b)
+    Nobs_meas = spec.measurement_index_points_triangulated0
+    J_fpcw = jnp.asarray(Jdense)[:Nobs_meas].at[
+        :, :spec.state_index_frames0].set(0.0)
+
+    JcT_Jc = Jcross.T @ Jcross
+    JcT_J = Jcross.T @ J_fpcw
+    return np.asarray(-jnp.linalg.solve(JcT_Jc, JcT_J))

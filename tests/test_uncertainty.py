@@ -123,3 +123,60 @@ def test_projection_diff_shifted_intrinsics(calibrated):
         (model, m2), gridn_width=20, distance=None)
     # the implied rotation compensates most of the cx shift
     assert float(np.median(np.asarray(difflen))) < 2.0
+
+
+def test_projection_uncertainty_ccp(calibrated):
+    """Statistical validation of cross-reprojection-ccp: the prediction must
+    match the empirical spread of the ccp-defined reprojection over
+    re-solved noisy calibrations.  (ccp is intentionally TIGHTER than
+    mean-pcam -- it is the mrcal>=3.0 default because mean-pcam
+    overestimates; so we do not compare the two against each other.)"""
+    scene, oi, model = calibrated
+    p_cam = np.array([0.15, -0.1, 2.5])
+
+    Var_ccp = np.asarray(mrcal.projection_uncertainty(
+        p_cam, model, method="cross-reprojection-ccp",
+        observed_pixel_uncertainty=SIGMA))
+    assert Var_ccp.shape == (2, 2)
+    l_pred = np.linalg.eigvalsh(Var_ccp)
+    assert np.all(l_pred > 0)
+
+    from mrcal_tpu.optimize.layout import spec_from_inputs, normalize_inputs
+    from mrcal_tpu.optimize.residuals import (
+        drt_cross_reprojection__dbpacked, arrays_from_inputs,
+        params_from_arrays, pack_params)
+    from mrcal_tpu.synthetic_data import make_perfect_observations
+    import mrcal_tpu.poseutils as pu
+
+    kw = normalize_inputs(oi)
+    spec = spec_from_inputs(**kw)
+    K = drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw)
+    arrays = arrays_from_inputs(**kw)
+    b0 = np.asarray(pack_params(params_from_arrays(arrays), spec))
+
+    oi_perfect = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
+                  for k, v in oi.items()}
+    make_perfect_observations(oi_perfect)
+    obs_perfect = np.asarray(oi_perfect["observations_board"]).copy()
+
+    qs = []
+    np.random.seed(77)
+    for s in range(20):
+        oi_s = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
+                for k, v in oi_perfect.items()}
+        oi_s["observations_board"] = obs_perfect + np.concatenate(
+            [np.random.randn(*obs_perfect[..., :2].shape) * SIGMA,
+             np.zeros(obs_perfect.shape[:-1] + (1,))], axis=-1)
+        mrcal.optimize(**oi_s)
+        arrays_s = arrays_from_inputs(**normalize_inputs(oi_s))
+        b_s = np.asarray(pack_params(params_from_arrays(arrays_s), spec))
+        rt_cc = K @ (b_s - b0)
+        p_star = np.asarray(pu.transform_point_rt(
+            pu.invert_rt(rt_cc), p_cam))
+        qs.append(np.asarray(mrcal.project(
+            p_star, oi["lensmodel"], np.asarray(oi_s["intrinsics"][0]))))
+    Var_emp = np.cov(np.array(qs).T)
+    l_emp = np.linalg.eigvalsh(Var_emp)
+    # generous bounds: 20 samples of a 2x2 covariance
+    assert 0.25 < np.trace(Var_emp) / np.trace(Var_ccp) < 4.0, \
+        (l_pred, l_emp)
