@@ -310,44 +310,51 @@ def _project_cahvor_core(v, intrinsics, linearity=None):
         mu = r0 + tau * (r1 + tau * r2)
         p_dist = v + mu[..., None] * (v - omega[..., None] * o)
     else:
-        # CAHVORE (reference: cahvore.cc:21 _project_cahvore_internals).
-        # Noncentral: the projection of p is the projection of a point moved
-        # along o; here we implement the central approximation valid for
-        # points at infinity plus the L(E) pupil term, matching the reference
-        # for observation vectors (which is how mrcal uses CAHVORE).
+        # CAHVORE (exact reference math: cahvore.cc:21
+        # _project_cahvore_internals).  Noncentral model: the ray's
+        # off-axis angle theta solves a transcendental equation involving
+        # the pupil terms e0,e1,e2 (Newton, fixed iterations for jit);
+        # then the linearity warp chi and the CAHVOR-style radial term.
         e0 = intrinsics[..., 9]
         e1 = intrinsics[..., 10]
         e2 = intrinsics[..., 11]
-        # decompose p into along-o ("zeta") and perpendicular components
         zeta = jnp.sum(v * o, axis=-1)
-        lam_vec = v - zeta[..., None] * o
-        lam = jnp.linalg.norm(lam_vec, axis=-1)
-        # theta: off-axis angle
-        theta = jnp.arctan2(lam, zeta)
-        th2 = theta * theta
-        # pupil displacement L(theta) = e0 + e1 th^2 + e2 th^4  -> shift along o
-        L = e0 + th2 * (e1 + th2 * e2)
-        # shifted ray origin: project p - L*o through the center
-        vshift = v - L[..., None] * o
-        zeta = jnp.sum(vshift * o, axis=-1)
-        lam_vec = vshift - zeta[..., None] * o
-        lam = jnp.linalg.norm(lam_vec, axis=-1)
-        theta = jnp.arctan2(lam, zeta)
-        # linearity warping: chi = theta for linearity=1 (perspective),
-        # sin(l th)/l for general l, th for l->0 (fisheye equidistant)
+        ll = v - zeta[..., None] * o
+        l = jnp.linalg.norm(ll, axis=-1)
+        theta0 = jnp.arctan2(l, zeta)
+
+        def newton_step(_, theta):
+            sth = jnp.sin(theta)
+            cth = jnp.cos(theta)
+            th2 = theta * theta
+            th3 = theta * th2
+            th4 = theta * th3
+            upsilon = (zeta * cth + l * sth
+                       + (cth - 1.0) * (e0 + e1 * th2 + e2 * th4)
+                       - (theta - sth) * (2.0 * e1 * theta
+                                          + 4.0 * e2 * th3))
+            dtheta = (zeta * sth - l * cth
+                      - (theta - sth) * (e0 + e1 * th2 + e2 * th4)) / upsilon
+            return theta - dtheta
+
+        # reference iterates up to 100x with early exit; 20 fixed
+        # iterations keep this jit-stable (converges in ~3)
+        theta = jax.lax.fori_loop(0, 20, newton_step, theta0)
         lin = linearity
-        if abs(lin) < 1e-9:
-            chi = theta
+        if lin < -1e-15:
+            chi = jnp.sin(theta * lin) / lin
+        elif lin > 1e-15:
+            chi = jnp.tan(theta * lin) / lin
         else:
-            chi = jnp.sin(lin * theta) / lin
-        # radial distortion on chi
+            chi = theta
         chi2 = chi * chi
-        mu = r0 + chi2 * (r1 + chi2 * r2)
-        safe_lam = jnp.where(lam < 1e-12, 1.0, lam)
-        scale = (1.0 + mu) * jnp.tan(theta) * zeta / safe_lam
-        scale = jnp.where(lam < 1e-12, 0.0, scale)
-        p_dist = lam_vec * scale[..., None] + zeta[..., None] * o
-        # fall through to pinhole projection of p_dist below
+        chi4 = chi2 * chi2
+        chi_safe = jnp.where(jnp.abs(chi) < 1e-12, 1.0, chi)
+        zetap = l / chi_safe
+        mu = r0 + r1 * chi2 + r2 * chi4
+        p_dist_big = zetap[..., None] * o + (mu + 1.0)[..., None] * ll
+        # theta ~ 0: pdistorted = p (reference: cahvore.cc theta<=1e-8)
+        p_dist = jnp.where((theta > 1e-8)[..., None], p_dist_big, v)
 
     return _project_pinhole_core(p_dist, intrinsics)
 

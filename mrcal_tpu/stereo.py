@@ -285,7 +285,122 @@ def stereo_unproject(disparity, models_rectified, *,
     return v * jnp.asarray(ranges)[..., None]
 
 
-def match_feature(image0, image1, q0, *, search_radius1=20,
-                  template_size1=17, **kwargs):
-    raise NotImplementedError(
-        "template-match feature search lands with the image pipeline stage")
+def match_feature(image0, image1, q0, *,
+                  search_radius1=20,
+                  template_size1=17,
+                  q1_estimate=None,
+                  H10=None,
+                  method=None,
+                  visualize=False,
+                  **kwargs):
+    """Find the position in image1 of the feature at q0 in image0
+    (reference: stereo.py:1609).  Normalized cross-correlation over a
+    search window, with subpixel refinement by quadratic fit.  The whole
+    search is one vectorized gather+reduction (TPU-friendly).
+
+    Returns (q1, diagnostics_dict);  q1 is None if the match failed."""
+    import jax
+    image0 = jnp.asarray(image0, dtype=jnp.float64)
+    image1 = jnp.asarray(image1, dtype=jnp.float64)
+    q0 = np.asarray(q0, dtype=np.float64)
+    if q1_estimate is None:
+        if H10 is not None:
+            H10 = np.asarray(H10)
+            qh = H10 @ np.array([q0[0], q0[1], 1.0])
+            q1_estimate = qh[:2] / qh[2]
+        else:
+            q1_estimate = q0
+    q1_estimate = np.asarray(q1_estimate, dtype=np.float64)
+
+    t = template_size1 // 2
+    dy, dx = np.mgrid[-t:t + 1, -t:t + 1]
+
+    def sample(im, center):
+        rows = center[1] + dy
+        cols = center[0] + dx
+        return jax.scipy.ndimage.map_coordinates(
+            im, [jnp.asarray(rows, jnp.float64),
+                 jnp.asarray(cols, jnp.float64)], order=1, mode="nearest")
+
+    templ = sample(image0, q0)
+    templ = templ - jnp.mean(templ)
+    tnorm = jnp.sqrt(jnp.sum(templ * templ))
+
+    r = search_radius1
+    offs = np.mgrid[-r:r + 1, -r:r + 1].reshape(2, -1).T    # (N,2) (dy,dx)
+
+    def score_one(off):
+        patch = sample(image1, q1_estimate + off[::-1])
+        patch = patch - jnp.mean(patch)
+        pnorm = jnp.sqrt(jnp.sum(patch * patch))
+        return jnp.sum(patch * templ) / (pnorm * tnorm + 1e-12)
+
+    scores = jax.vmap(score_one)(jnp.asarray(offs, jnp.float64))
+    scores2d = np.asarray(scores).reshape(2 * r + 1, 2 * r + 1)
+    iy, ix = np.unravel_index(np.argmax(scores2d), scores2d.shape)
+    if iy in (0, 2 * r) or ix in (0, 2 * r):
+        return None, dict(matchoutput_image=scores2d)
+    # subpixel: quadratic fit around the peak
+    def subpix(sm1, s0, sp1):
+        denom = sm1 - 2 * s0 + sp1
+        return 0.0 if abs(denom) < 1e-12 else 0.5 * (sm1 - sp1) / denom
+    ddx = subpix(scores2d[iy, ix - 1], scores2d[iy, ix],
+                 scores2d[iy, ix + 1])
+    ddy = subpix(scores2d[iy - 1, ix], scores2d[iy, ix],
+                 scores2d[iy + 1, ix])
+    q1 = q1_estimate + np.array([ix - r + ddx, iy - r + ddy])
+    return q1, dict(matchoutput_image=scores2d,
+                    score=float(scores2d[iy, ix]))
+
+
+def stereo_matching_ncc(rectified0, rectified1, *,
+                        disparity_min=0, disparity_max=64,
+                        block_size=9):
+    """TPU-native dense stereo block matching: zero-mean NCC over a sliding
+    window, computed as one batched reduction over disparities (the
+    libelas/SGBM-equivalent slot, reference: stereo-matching-libelas.cc).
+
+    Returns float disparity (H,W); invalid pixels get 0."""
+    import jax
+    im0 = jnp.asarray(rectified0, jnp.float32)
+    im1 = jnp.asarray(rectified1, jnp.float32)
+    H, W = im0.shape
+    b = block_size // 2
+    kernel = jnp.ones((block_size, block_size), jnp.float32)
+
+    def boxsum(x):
+        # separable box filter via cumsum
+        return jax.scipy.signal.convolve2d(x, kernel, mode="same")
+
+    sum0 = boxsum(im0)
+    sum00 = boxsum(im0 * im0)
+    n = block_size * block_size
+    mean0 = sum0 / n
+    var0 = sum00 / n - mean0 * mean0
+
+    def score_at(d):
+        im1s = jnp.roll(im1, d, axis=1)
+        sum1 = boxsum(im1s)
+        sum11 = boxsum(im1s * im1s)
+        sum01 = boxsum(im0 * im1s)
+        mean1 = sum1 / n
+        var1 = sum11 / n - mean1 * mean1
+        cov = sum01 / n - mean0 * mean1
+        return cov / jnp.sqrt(jnp.maximum(var0 * var1, 1e-6))
+
+    ds = jnp.arange(disparity_min, disparity_max + 1)
+    scores = jax.vmap(score_at)(ds)              # (Nd, H, W)
+    best = jnp.argmax(scores, axis=0)
+    smax = jnp.max(scores, axis=0)
+    disp = (best + disparity_min).astype(jnp.float32)
+    # subpixel parabola fit
+    i = jnp.clip(best, 1, scores.shape[0] - 2)
+    sm1 = jnp.take_along_axis(scores, (i - 1)[None], axis=0)[0]
+    s0 = jnp.take_along_axis(scores, i[None], axis=0)[0]
+    sp1 = jnp.take_along_axis(scores, (i + 1)[None], axis=0)[0]
+    denom = sm1 - 2 * s0 + sp1
+    sub = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (sm1 - sp1) / denom, 0.0)
+    disp = disp + jnp.where(best == i, sub, 0.0)
+    # texture/score validity
+    valid = (smax > 0.3) & (var0 > 1.0)
+    return np.asarray(jnp.where(valid, disp, 0.0))

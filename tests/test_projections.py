@@ -181,3 +181,32 @@ def test_broadcasting_intrinsics():
     q = np.asarray(mrcal.project(PTS[0], "LENSMODEL_OPENCV4", intr))
     assert q.shape == (2, 2)
     assert not np.allclose(q[0], q[1])
+
+
+def test_cahvore_roundtrip():
+    """CAHVORE (noncentral): projection is finite and the central unproject
+    inverts it up to the pupil-displacement (noncentrality) error."""
+    intr = np.array([4000., 4000., 1000., 800., 0.01, -0.02,
+                     -0.3, 0.01, -0.005, 0.001, -0.002, 0.0005])
+    for lin in (0.4, 0.0, -0.3):
+        name = f"LENSMODEL_CAHVORE_linearity={lin:.2f}"
+        pts = np.array([[0.1, 0.2, 5.0], [-0.5, 0.3, 3.0], [1.0, -1.0, 4.0]])
+        q = np.asarray(mrcal.project(pts, name, intr))
+        assert np.all(np.isfinite(q))
+        v = np.asarray(mrcal.unproject(q, name, intr))
+        vn = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        pn = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+        assert np.abs(vn - pn).max() < 1e-4
+    # zero pupil terms -> central model; roundtrip must be exact
+    intr0 = intr.copy()
+    intr0[9:] = 0.0
+    name = "LENSMODEL_CAHVORE_linearity=1.00"
+    pts = np.array([[0.1, 0.2, 5.0]])
+    q = np.asarray(mrcal.project(pts, name, intr0))
+    v = np.asarray(mrcal.unproject(q, name, intr0))
+    vn = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    pn = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    assert np.abs(vn - pn).max() < 1e-9
+    # linearity=1 with zero e must reduce to CAHVOR
+    q_cahvor = np.asarray(mrcal.project(pts, "LENSMODEL_CAHVOR", intr0[:9]))
+    assert np.allclose(q, q_cahvor, atol=1e-6)

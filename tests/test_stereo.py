@@ -103,3 +103,34 @@ def test_stereo_unproject(models):
     p = np.asarray(mrcal.stereo_unproject(
         None, rect, ranges=np.array(r_true), qrect0=q0))
     assert np.allclose(p, p_rect0, atol=1e-9)
+
+
+def test_match_feature():
+    np.random.seed(0)
+    from mrcal_tpu.stereo import match_feature
+    img0 = (np.random.rand(120, 160) * 255).astype(np.float64)
+    # image1 = image0 shifted by a known offset
+    dy_true, dx_true = 3, -5
+    img1 = np.roll(np.roll(img0, dy_true, axis=0), dx_true, axis=1)
+    q0 = np.array([80.0, 60.0])
+    q1, diag = match_feature(img0, img1, q0, search_radius1=10,
+                             template_size1=15)
+    assert q1 is not None
+    assert np.allclose(q1, q0 + [dx_true, dy_true], atol=0.25), q1
+    assert diag["score"] > 0.9
+
+
+def test_stereo_matching_ncc():
+    np.random.seed(1)
+    from mrcal_tpu.stereo import stereo_matching_ncc
+    H, W = 60, 120
+    d_true = 7
+    img0 = (np.random.rand(H, W) * 255).astype(np.float32)
+    # shift right image LEFT by d: feature at x in im0 appears at x-d in im1
+    img1 = np.roll(img0, -d_true, axis=1)
+    disp = stereo_matching_ncc(img0, img1, disparity_min=0,
+                               disparity_max=20, block_size=9)
+    inner = disp[10:-10, 30:-30]
+    good = inner[inner > 0]
+    assert len(good) > 0.8 * inner.size
+    assert np.abs(np.median(good) - d_true) < 0.5
