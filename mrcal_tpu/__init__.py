@@ -37,6 +37,9 @@ from .optimize import (         # noqa: F401
     state_index_points, state_index_calobject_warp,
     measurement_index_boards, measurement_index_points,
     measurement_index_regularization,
+    measurement_index_points_triangulated,
+    num_intrinsics_optimization_params,
+    decode_observation_indices_points_triangulated,
     pack_state, unpack_state,
     corresponding_icam_extrinsics,
 )

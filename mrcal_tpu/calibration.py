@@ -378,3 +378,102 @@ def seed_stereographic(imagersizes, focal_estimate,
         [np.asarray(poseutils.rt_from_Rt(jnp.asarray(Rt)))
          for Rt in Rt_ref_frame])
     return intrinsics, extrinsics_rt_fromref, frames_rt_toref
+
+
+# ----------------------------------------------------------------------------
+# valid-intrinsics region (reference: calibration.py:1611, :1720)
+# ----------------------------------------------------------------------------
+
+def _report_regional_statistics(model, *, gridn_width=30, gridn_height=None):
+    """Per-region residual statistics over the imager (reference:
+    calibration.py:1720).  Returns (mean, stdev, count) arrays of shape
+    (gridn_height, gridn_width)."""
+    oi = model.optimization_inputs()
+    if oi is None:
+        raise Exception("model has no optimization_inputs")
+    from .utils import measurements_board
+    icam = model.icam_intrinsics() or 0
+    W, H = model.imagersize()
+    if gridn_height is None:
+        gridn_height = int(round(H / W * gridn_width))
+
+    res = measurements_board(oi)
+    obs = np.asarray(oi["observations_board"])
+    idx = np.asarray(oi["indices_frame_camintrinsics_camextrinsics"])
+    sel = idx[:, 1] == icam
+    res = res[sel]
+    obs = obs[sel]
+    inlier = obs[..., 2] > 0
+    q = obs[..., :2][inlier]
+    r = res[inlier]
+    mag = np.linalg.norm(r, axis=-1)
+
+    gx = np.clip((q[:, 0] / W * gridn_width).astype(int), 0, gridn_width - 1)
+    gy = np.clip((q[:, 1] / H * gridn_height).astype(int), 0,
+                 gridn_height - 1)
+    count = np.zeros((gridn_height, gridn_width))
+    s1 = np.zeros((gridn_height, gridn_width, 2))
+    s2 = np.zeros((gridn_height, gridn_width))
+    np.add.at(count, (gy, gx), 1)
+    np.add.at(s1, (gy, gx), r)
+    np.add.at(s2, (gy, gx), mag * mag)
+    cnt_safe = np.maximum(count, 1)
+    mean = np.linalg.norm(s1 / cnt_safe[..., None], axis=-1)
+    stdev = np.sqrt(np.maximum(s2 / cnt_safe - 0, 0))
+    return mean, stdev, count
+
+
+def _compute_valid_intrinsics_region(model,
+                                     threshold_uncertainty=1.0,
+                                     threshold_mean=0.5,
+                                     threshold_stdev=1.0,
+                                     threshold_count=3,
+                                     distance=0.0,
+                                     gridn_width=30, gridn_height=None):
+    """The valid-intrinsics region: the contour of the area where the
+    regional residual statistics and the projection uncertainty are all
+    within thresholds (reference: calibration.py:1611).  Returns a closed
+    (N,2) pixel contour, or None."""
+    import re as _re
+    from .projections import unproject
+    from .model_analysis import projection_uncertainty
+    from .utils import sample_imager
+
+    W, H = model.imagersize()
+    if gridn_height is None:
+        gridn_height = int(round(H / W * gridn_width))
+    mean, stdev, count = _report_regional_statistics(
+        model, gridn_width=gridn_width, gridn_height=gridn_height)
+    q = np.asarray(sample_imager(gridn_width, gridn_height, W, H))
+    vcam = np.asarray(unproject(q, *model.intrinsics(), normalize=True))
+    atinfinity = distance <= 0
+    pcam = vcam if atinfinity else vcam * distance
+    unc = np.array(projection_uncertainty(
+        pcam.reshape(-1, 3), model, method="mean-pcam",
+        atinfinity=atinfinity,
+        what="worstdirection-stdev")).reshape(mean.shape)
+    unc[~np.isfinite(unc)] = 1e9
+    mask = unc < threshold_uncertainty
+    if not _re.match("LENSMODEL_SPLINED_", model.intrinsics()[0]):
+        mask &= (mean < threshold_mean) & (stdev < threshold_stdev) & \
+                (count > threshold_count)
+    if not np.any(mask):
+        return np.zeros((0, 2))
+
+    # extract the boundary contour of the mask (marching squares)
+    try:
+        import contourpy
+        gen = contourpy.contour_generator(
+            x=q[..., 0], y=q[..., 1], z=mask.astype(float))
+        lines = gen.lines(0.5)
+        if not lines:
+            return np.zeros((0, 2))
+        contour = max(lines, key=len)
+    except ImportError:
+        # fall back: bounding box of the mask
+        ys, xs = np.nonzero(mask)
+        x0, x1 = q[0, xs.min(), 0], q[0, xs.max(), 0]
+        y0, y1 = q[ys.min(), 0, 1], q[ys.max(), 0, 1]
+        contour = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    from .utils import close_contour
+    return close_contour(np.asarray(contour))

@@ -355,8 +355,28 @@ def projection_diff(models, *, gridn_width=60, gridn_height=None,
     return difflen, diff, q0, implied_Rt10
 
 
-def stereo_pair_diff(*args, **kwargs):
-    raise NotImplementedError("stereo_pair_diff lands with the diff stage 2")
+def stereo_pair_diff(model_pairs, *, gridn_width=60, gridn_height=None,
+                     distance=None):
+    """Mismatch of the camera0->camera1 reprojection between two pairs of
+    models (reference: model_analysis.py:1931).  Returns
+    (difflen, diff, q0)."""
+    from .utils import sample_imager_unproject
+    if len(model_pairs) != 2 or any(len(p) != 2 for p in model_pairs):
+        raise Exception("model_pairs must be 2 pairs of 2 models")
+    W, H = model_pairs[0][0].imagersize()
+    q0 = None
+    q1s = []
+    d = distance if distance is not None else 1e5
+    for m0, m1 in model_pairs:
+        v0, q0 = sample_imager_unproject(gridn_width, gridn_height, W, H,
+                                         *m0.intrinsics(), normalize=True)
+        p0 = jnp.asarray(v0) * d
+        Rt10 = poseutils.compose_Rt(m1.Rt_cam_ref(), m0.Rt_ref_cam())
+        p1 = poseutils.transform_point_Rt(jnp.asarray(Rt10), p0)
+        q1s.append(np.asarray(project(p1, *m1.intrinsics())))
+    diff = q1s[1] - q1s[0]
+    difflen = np.linalg.norm(diff, axis=-1)
+    return difflen, diff, np.asarray(q0)
 
 
 def is_within_valid_intrinsics_region(q, model):

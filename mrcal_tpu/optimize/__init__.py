@@ -22,6 +22,9 @@ from .layout import (  # noqa: F401
     num_measurements_points_triangulated, num_measurements_regularization,
     measurement_index_boards, measurement_index_points,
     measurement_index_regularization,
+    measurement_index_points_triangulated,
+    num_intrinsics_optimization_params,
+    decode_observation_indices_points_triangulated,
     pack_state, unpack_state,
     corresponding_icam_extrinsics,
 )

@@ -492,3 +492,39 @@ def unpack_state(b, spec=None, **kw):
     """packed state -> real units."""
     spec = _spec_or_kwargs(spec, kw)
     return np.asarray(b) * spec.scales()
+
+
+def num_intrinsics_optimization_params(**kw):
+    """Number of optimized intrinsics parameters PER CAMERA (reference:
+    mrcal.num_intrinsics_optimization_params)."""
+    return spec_from_inputs(**kw).Nintrinsics_state_per_cam
+
+
+def measurement_index_points_triangulated(i_point_triangulated=0, **kw):
+    """Start of the triangulated-point measurements in the measurement
+    vector.  i_point_triangulated indexes SETS (points)."""
+    spec = spec_from_inputs(**kw)
+    off = spec.measurement_index_points_triangulated0
+    for i, n in enumerate(spec.triangulated_set_sizes):
+        if i >= i_point_triangulated:
+            break
+        off += n * (n - 1) // 2
+    return off
+
+
+def decode_observation_indices_points_triangulated(**kw):
+    """Decode the triangulated-point observation indices into per-set
+    bookkeeping (reference: decode_observation_indices_points_triangulated):
+    returns a list of dicts with iobservation0/Nobservations/
+    imeasurement0/Nmeasurements per set."""
+    spec = spec_from_inputs(**kw)
+    out = []
+    iobs = 0
+    imeas = spec.measurement_index_points_triangulated0
+    for n in spec.triangulated_set_sizes:
+        npairs = n * (n - 1) // 2
+        out.append(dict(iobservation0=iobs, Nobservations=n,
+                        imeasurement0=imeas, Nmeasurements=npairs))
+        iobs += n
+        imeas += npairs
+    return out
