@@ -37,31 +37,33 @@ def main():
 
     static_idx = dict(board=np.asarray(arrays["indices_board"]),
                       point=np.asarray(arrays["indices_point"]))
-    ne_fn = build_normal_equations(spec, arrays, static_idx)
+    from mrcal_tpu.optimize.solver import _cast_arrays, lm_solve_device
     import jax.numpy as jnp
 
-    from mrcal_tpu.optimize.solver import _cast_arrays
-    arrays32 = _cast_arrays(arrays, jnp.float32)
+    # production pipeline: the ENTIRE trust-region LM loop device-resident
+    # (lax.while_loop), f32 phase.  Measure sustained iteration throughput
+    # over a full solve from a perturbed start.
+    rng = np.random.default_rng(1)
+    b_start = jnp.asarray(np.asarray(b0) + rng.normal(0, 1e-3, len(b0)))
 
-    @jax.jit
-    def lm_step(b, lam):
-        ne = ne_fn(b, arrays32)
-        dc, df, dp = schur_step(ne, lam, spec)
-        db = _delta_to_b(dc, df, dp, spec)
-        return b + db, ne["E"]
+    # warmup/compile
+    lm_solve_device(spec, arrays, b_start, max_iterations=2,
+                    dtype=jnp.float32)
 
-    b = jnp.asarray(b0, jnp.float32)
-    # warmup / compile
-    b1, E = lm_step(b, 1e-4)
-    b1.block_until_ready()
-
-    niter = 20
     t0 = time.perf_counter()
-    bb = b
-    for _ in range(niter):
-        bb, E = lm_step(bb, 1e-4)
-    bb.block_until_ready()
+    b, E, niter = lm_solve_device(spec, arrays, b_start,
+                                  max_iterations=100, dtype=jnp.float32)
     dt = time.perf_counter() - t0
+    if niter < 20:
+        # converged early: re-measure with a tighter threshold to get a
+        # stable iterations/s number
+        t0 = time.perf_counter()
+        b, E, niter = lm_solve_device(spec, arrays, b_start,
+                                      max_iterations=100,
+                                      update_threshold=0.0,
+                                      dtype=jnp.float32)
+        dt = time.perf_counter() - t0
+        niter = max(niter, 1)
 
     its_per_s = niter / dt
     baseline_c_its_per_s = 20.0

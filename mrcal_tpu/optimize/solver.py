@@ -727,3 +727,69 @@ def optimize(**kw):
         x=x,
     )
     return stats
+
+
+# ----------------------------------------------------------------------------
+# fully device-resident LM (lax.while_loop: zero host round-trips)
+# ----------------------------------------------------------------------------
+
+def lm_solve_device(spec: ProblemSpec, arrays, b0,
+                    max_iterations=300, update_threshold=1e-7,
+                    dtype=None):
+    """The whole trust-region LM loop as ONE jitted computation
+    (jax.lax.while_loop): normal equations, Schur step, trial evaluation and
+    the gain-ratio lambda control all run on device.  This removes the
+    per-iteration host round-trip of lm_solve() — the difference between
+    dispatch-bound and compute-bound on TPU.
+
+    Returns (b, E, niter)."""
+    static_idx = dict(board=np.asarray(arrays["indices_board"]),
+                      point=np.asarray(arrays["indices_point"]))
+    if dtype is not None:
+        arrays = _cast_arrays(arrays, dtype)
+        b0 = jnp.asarray(b0, dtype)
+    b0 = jnp.asarray(b0)
+    dt = b0.dtype
+    eff_threshold = max(update_threshold,
+                        1e-5 if dt == jnp.float32 else 0.0)
+    ne_fn = build_normal_equations(spec, arrays, static_idx)
+
+    def cond(state):
+        b, ne, lam, nu, it, done = state
+        return (~done) & (it < max_iterations)
+
+    def body(state):
+        # the carried `ne` is the normal equations AT b: one NE evaluation
+        # per iteration (the trial's NE is reused on acceptance)
+        b, ne, lam, nu, it, done = state
+        dc, df, dp = schur_step(ne, lam, spec)
+        db = _delta_to_b(dc, df, dp, spec)
+        g = _g_to_b(ne, spec)
+        b_try = b + db
+        ne_try = ne_fn(b_try, arrays)
+        E = ne["E"]
+        E_try = ne_try["E"]
+        pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
+        rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
+        accept = (E_try < E) & jnp.isfinite(E_try)
+        small = jnp.max(jnp.abs(db)) < eff_threshold
+
+        b = jnp.where(accept, b_try, b)
+        ne = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                          ne_try, ne)
+        lam_up = lam * nu
+        lam_down = jnp.maximum(
+            lam * jnp.maximum(1.0 / 3.0,
+                              1.0 - (2.0 * rho - 1.0) ** 3), 1e-14)
+        lam = jnp.where(accept, jnp.where(rho > 0, lam_down, lam / 2.0),
+                        lam_up)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        done = (accept & small) | (lam > 1e12)
+        return (b, ne, lam, nu, it + 1, done)
+
+    ne0 = ne_fn(b0, arrays)
+    state0 = (b0, ne0, jnp.asarray(1e-4, dt), jnp.asarray(2.0, dt),
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    b, ne, lam, nu, it, done = jax.jit(
+        lambda s: jax.lax.while_loop(cond, body, s))(state0)
+    return b, float(ne["E"]), int(it)

@@ -28,3 +28,25 @@ def test_mixed_precision_matches_f64():
     assert np.allclose(oi64["intrinsics"], oimx["intrinsics"], atol=1e-4)
     assert np.allclose(oi64["extrinsics_rt_fromref"],
                        oimx["extrinsics_rt_fromref"], atol=1e-6)
+
+
+def test_device_resident_lm_matches_host():
+    """lm_solve_device (lax.while_loop, zero host round trips) must land at
+    the same optimum as the host-loop solver."""
+    from mrcal_tpu.optimize.layout import spec_from_inputs
+    from mrcal_tpu.optimize.residuals import (arrays_from_inputs,
+                                              params_from_arrays, pack_params)
+    from mrcal_tpu.optimize.solver import lm_solve, lm_solve_device
+    scene = make_scene(Ncameras=1, Nframes=10, model="LENSMODEL_OPENCV4")
+    oi = optimization_inputs_from_scene(scene, perturb=True)
+    np.random.seed(31)
+    oi["observations_board"][..., :2] += \
+        np.random.randn(*oi["observations_board"][..., :2].shape) * 0.2
+    spec = spec_from_inputs(**oi)
+    arrays = arrays_from_inputs(**oi)
+    b0 = pack_params(params_from_arrays(arrays), spec)
+    b_host, E_host, _, _ = lm_solve(spec, arrays, b0)
+    b_dev, E_dev, niter = lm_solve_device(spec, arrays, b0)
+    assert np.isclose(E_host, E_dev, rtol=1e-9)
+    assert np.allclose(np.asarray(b_host), np.asarray(b_dev), atol=1e-6)
+    assert niter > 0
