@@ -473,6 +473,28 @@ def _reg_per_camera(intr_row, spec: ProblemSpec, dt, target=None):
 # Schur-reduced damped step
 # ----------------------------------------------------------------------------
 
+import os as _os
+
+_USE_PALLAS_CHOLESKY = bool(_os.environ.get("MRCAL_TPU_PALLAS"))
+
+
+def _block_solve(A, rhs):
+    """Batched small-SPD solve: Pallas kernel when MRCAL_TPU_PALLAS=1 on an
+    accelerator, XLA cholesky otherwise.  Returns (L, solve_fn) where
+    solve_fn solves against further RHS with the same blocks."""
+    if _USE_PALLAS_CHOLESKY and jax.default_backend() != "cpu":
+        from ..ops.batched_cholesky import batched_cholesky_solve_pallas
+
+        def solve(r):
+            return batched_cholesky_solve_pallas(A, r)
+        return None, solve
+    L = jnp.linalg.cholesky(A)
+
+    def solve(r):
+        return jax.scipy.linalg.cho_solve((L, True), r)
+    return L, solve
+
+
 def schur_step(ne, lam, spec: ProblemSpec):
     """Solve (JtJ + lam I) delta = -g exactly via block elimination of frame
     and point blocks.  Returns (delta_c, delta_f, delta_p)."""
@@ -485,20 +507,20 @@ def schur_step(ne, lam, spec: ProblemSpec):
 
     if Nf:
         Af = ne["Hff"][:Nf] + lam * jnp.eye(6, dtype=dt)
-        Lf = jnp.linalg.cholesky(Af)                       # (Nf,6,6)
         Cf = ne["Cf"][:Nf]                                 # (Nf,6,Nc)
         gf = ne["g_f"][:Nf]
-        AinvC = jax.scipy.linalg.cho_solve((Lf, True), Cf)
-        Ainvg = jax.scipy.linalg.cho_solve((Lf, True), gf[..., None])[..., 0]
+        _, solve_f = _block_solve(Af, Cf)
+        AinvC = solve_f(Cf)
+        Ainvg = solve_f(gf[..., None])[..., 0]
         H_red = H_red - jnp.einsum("fic,fid->cd", Cf, AinvC)
         g_red = g_red - jnp.einsum("fic,fi->c", Cf, Ainvg)
     if Npv:
         Ap = ne["Hpp"][:Npv] + lam * jnp.eye(3, dtype=dt)
-        Lp = jnp.linalg.cholesky(Ap)
         Cp = ne["Cp"][:Npv]
         gp = ne["g_p"][:Npv]
-        AinvCp = jax.scipy.linalg.cho_solve((Lp, True), Cp)
-        Ainvgp = jax.scipy.linalg.cho_solve((Lp, True), gp[..., None])[..., 0]
+        _, solve_p = _block_solve(Ap, Cp)
+        AinvCp = solve_p(Cp)
+        Ainvgp = solve_p(gp[..., None])[..., 0]
         H_red = H_red - jnp.einsum("fic,fid->cd", Cp, AinvCp)
         g_red = g_red - jnp.einsum("fic,fi->c", Cp, Ainvgp)
 
@@ -508,11 +530,11 @@ def schur_step(ne, lam, spec: ProblemSpec):
     delta_f = jnp.zeros((max(Nf, 1), 6), dt)
     if Nf:
         rhs = -(gf + jnp.einsum("fic,c->fi", Cf, delta_c))
-        delta_f = jax.scipy.linalg.cho_solve((Lf, True), rhs[..., None])[..., 0]
+        delta_f = solve_f(rhs[..., None])[..., 0]
     delta_p = jnp.zeros((max(Npv, 1), 3), dt)
     if Npv:
         rhs = -(gp + jnp.einsum("fic,c->fi", Cp, delta_c))
-        delta_p = jax.scipy.linalg.cho_solve((Lp, True), rhs[..., None])[..., 0]
+        delta_p = solve_p(rhs[..., None])[..., 0]
     return delta_c, delta_f, delta_p
 
 
@@ -733,6 +755,65 @@ def optimize(**kw):
 # fully device-resident LM (lax.while_loop: zero host round-trips)
 # ----------------------------------------------------------------------------
 
+_DEVICE_SOLVER_CACHE = {}
+
+
+def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
+    """Compile (once per problem shape) the full device-resident LM loop.
+    max_iterations/update_threshold are DYNAMIC inputs so one compilation
+    serves every call."""
+    key = (spec, static_idx_key, str(dtype))
+    if key in _DEVICE_SOLVER_CACHE:
+        return _DEVICE_SOLVER_CACHE[key]
+
+    ne_fn = build_normal_equations(spec, None, static_idx)
+
+    @jax.jit
+    def solve(b0, arrays, max_iterations, update_threshold):
+        dt = b0.dtype
+
+        def cond(state):
+            b, ne, lam, nu, it, done = state
+            return (~done) & (it < max_iterations)
+
+        def body(state):
+            # carried `ne` = normal equations AT b: one NE eval/iteration
+            b, ne, lam, nu, it, done = state
+            dc, df, dp = schur_step(ne, lam, spec)
+            db = _delta_to_b(dc, df, dp, spec)
+            g = _g_to_b(ne, spec)
+            b_try = b + db
+            ne_try = ne_fn(b_try, arrays)
+            E = ne["E"]
+            E_try = ne_try["E"]
+            pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
+            rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
+            accept = (E_try < E) & jnp.isfinite(E_try)
+            small = jnp.max(jnp.abs(db)) < update_threshold
+
+            b = jnp.where(accept, b_try, b)
+            ne = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                              ne_try, ne)
+            lam_up = lam * nu
+            lam_down = jnp.maximum(
+                lam * jnp.maximum(1.0 / 3.0,
+                                  1.0 - (2.0 * rho - 1.0) ** 3), 1e-14)
+            lam = jnp.where(accept,
+                            jnp.where(rho > 0, lam_down, lam / 2.0), lam_up)
+            nu = jnp.where(accept, 2.0, nu * 2.0)
+            done = (accept & small) | (lam > 1e12)
+            return (b, ne, lam, nu, it + 1, done)
+
+        ne0 = ne_fn(b0, arrays)
+        state0 = (b0, ne0, jnp.asarray(1e-4, dt), jnp.asarray(2.0, dt),
+                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        b, ne, lam, nu, it, done = jax.lax.while_loop(cond, body, state0)
+        return b, ne["E"], it
+
+    _DEVICE_SOLVER_CACHE[key] = solve
+    return solve
+
+
 def lm_solve_device(spec: ProblemSpec, arrays, b0,
                     max_iterations=300, update_threshold=1e-7,
                     dtype=None):
@@ -740,7 +821,8 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     (jax.lax.while_loop): normal equations, Schur step, trial evaluation and
     the gain-ratio lambda control all run on device.  This removes the
     per-iteration host round-trip of lm_solve() — the difference between
-    dispatch-bound and compute-bound on TPU.
+    dispatch-bound and compute-bound on TPU.  One compilation serves all
+    calls with the same problem shape (iteration bounds are dynamic).
 
     Returns (b, E, niter)."""
     static_idx = dict(board=np.asarray(arrays["indices_board"]),
@@ -749,47 +831,11 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
         arrays = _cast_arrays(arrays, dtype)
         b0 = jnp.asarray(b0, dtype)
     b0 = jnp.asarray(b0)
-    dt = b0.dtype
     eff_threshold = max(update_threshold,
-                        1e-5 if dt == jnp.float32 else 0.0)
-    ne_fn = build_normal_equations(spec, arrays, static_idx)
-
-    def cond(state):
-        b, ne, lam, nu, it, done = state
-        return (~done) & (it < max_iterations)
-
-    def body(state):
-        # the carried `ne` is the normal equations AT b: one NE evaluation
-        # per iteration (the trial's NE is reused on acceptance)
-        b, ne, lam, nu, it, done = state
-        dc, df, dp = schur_step(ne, lam, spec)
-        db = _delta_to_b(dc, df, dp, spec)
-        g = _g_to_b(ne, spec)
-        b_try = b + db
-        ne_try = ne_fn(b_try, arrays)
-        E = ne["E"]
-        E_try = ne_try["E"]
-        pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
-        rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
-        accept = (E_try < E) & jnp.isfinite(E_try)
-        small = jnp.max(jnp.abs(db)) < eff_threshold
-
-        b = jnp.where(accept, b_try, b)
-        ne = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
-                          ne_try, ne)
-        lam_up = lam * nu
-        lam_down = jnp.maximum(
-            lam * jnp.maximum(1.0 / 3.0,
-                              1.0 - (2.0 * rho - 1.0) ** 3), 1e-14)
-        lam = jnp.where(accept, jnp.where(rho > 0, lam_down, lam / 2.0),
-                        lam_up)
-        nu = jnp.where(accept, 2.0, nu * 2.0)
-        done = (accept & small) | (lam > 1e12)
-        return (b, ne, lam, nu, it + 1, done)
-
-    ne0 = ne_fn(b0, arrays)
-    state0 = (b0, ne0, jnp.asarray(1e-4, dt), jnp.asarray(2.0, dt),
-              jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    b, ne, lam, nu, it, done = jax.jit(
-        lambda s: jax.lax.while_loop(cond, body, s))(state0)
-    return b, float(ne["E"]), int(it)
+                        1e-5 if b0.dtype == jnp.float32 else 0.0)
+    static_idx_key = (static_idx["board"].tobytes(),
+                      static_idx["point"].tobytes())
+    solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
+    b, E, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
+                     jnp.asarray(eff_threshold, b0.dtype))
+    return b, float(E), int(it)
