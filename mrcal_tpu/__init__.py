@@ -44,6 +44,7 @@ from .optimize import (         # noqa: F401
     corresponding_icam_extrinsics,
 )
 from .cameramodel import cameramodel  # noqa: F401
+from .factorization import CHOLMOD_factorization  # noqa: F401
 from .synthetic_data import (   # noqa: F401
     ref_calibration_object,
     synthesize_board_observations,

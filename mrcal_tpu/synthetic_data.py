@@ -211,3 +211,87 @@ def make_perfect_observations(optimization_inputs, *,
         if observed_pixel_uncertainty:
             obs[:, :2] += np.random.randn(*q.shape) * \
                 observed_pixel_uncertainty
+
+
+def make_tracks(model, *,
+                Rt_NED_cam0=None,
+                R_cam_camnext=None,
+                t_cam_camnext__world=None,
+                Nobservations_total=1000,
+                track_length=4,
+                Nobservations_image=50,
+                gridn=10,
+                Npoint_observations_min=4,
+                Ncam_observing_min=4):
+    """Synthesize SfM feature tracks: a camera moving over a ground plane
+    (z=0 in the world/NED frame) observing persistent ground features
+    (reference: synthetic_data.py:759).
+
+    Returns (observations (N,2 pixel coords), indices (N,2) of
+    [ipoint, icam], points (Npoints,3 world coords),
+    Rt_NED_cam (Ncameras,4,3))."""
+    from . import poseutils
+    from .projections import project, unproject
+
+    W, H = model.imagersize()
+    if Rt_NED_cam0 is None:
+        # camera 100m up (NED: z down), looking down: camera +z (forward)
+        # maps to NED +z, so the identity rotation looks at the ground
+        Rt_NED_cam0 = np.concatenate([np.eye(3), [[0., 0., -100.]]], axis=0)
+    if R_cam_camnext is None:
+        R_cam_camnext = np.eye(3)
+    if t_cam_camnext__world is None:
+        t_cam_camnext__world = np.array([20.0, 0.0, 0.0])
+
+    Ncameras = max(2, int(np.ceil(Nobservations_total /
+                                  max(Nobservations_image, 1))))
+    Rt_NED_cam = np.zeros((Ncameras, 4, 3))
+    Rt_NED_cam[0] = Rt_NED_cam0
+    for i in range(1, Ncameras):
+        Rt_NED_cam[i, :3] = Rt_NED_cam[i - 1, :3] @ R_cam_camnext
+        Rt_NED_cam[i, 3] = Rt_NED_cam[i - 1, 3] + t_cam_camnext__world
+
+    # ground features: sample pixel grids from each camera, intersect with
+    # the ground plane, dedup by grid binning
+    points = []
+    for i in range(0, Ncameras, max(1, track_length // 2)):
+        qx = np.linspace(0.05 * W, 0.95 * W, gridn)
+        qy = np.linspace(0.05 * H, 0.95 * H, gridn)
+        qg = np.stack(np.meshgrid(qx, qy), axis=-1).reshape(-1, 2)
+        vcam = np.asarray(unproject(qg, *model.intrinsics()))
+        vw = vcam @ Rt_NED_cam[i, :3].T
+        pc = Rt_NED_cam[i, 3]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = -pc[2] / vw[:, 2]
+        ok = np.isfinite(d) & (d > 0)
+        points.append(pc + d[ok, None] * vw[ok])
+    points = np.concatenate(points, axis=0)
+    # dedup on a world grid
+    key = np.round(points[:, :2] / 5.0).astype(int)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    points = points[np.sort(uniq)]
+
+    observations = []
+    indices = []
+    for ip, p in enumerate(points):
+        seen = []
+        for ic in range(Ncameras):
+            p_cam = np.asarray(poseutils.transform_point_Rt(
+                np.asarray(poseutils.invert_Rt(Rt_NED_cam[ic])), p))
+            if p_cam[2] <= 0:
+                continue
+            q = np.asarray(project(p_cam, *model.intrinsics()))
+            if 0 <= q[0] <= W - 1 and 0 <= q[1] <= H - 1:
+                seen.append((ic, q))
+            if len(seen) >= track_length:
+                break
+        if len(seen) >= max(2, min(Npoint_observations_min,
+                                   Ncam_observing_min)):
+            for ic, q in seen:
+                observations.append(q)
+                indices.append((ip, ic))
+        if len(observations) >= Nobservations_total:
+            break
+
+    return (np.array(observations), np.array(indices, dtype=np.int32),
+            points, Rt_NED_cam)

@@ -396,7 +396,66 @@ def triangulate(q, models, *, stabilize_coords=True,
         C = C.at[1, 3].set(rho).at[3, 1].set(rho)
         Var_p = Var_p + (q_observation_stdev ** 2) * (Jf @ C @ Jf.T)
     if q_calibration_stdev is not None and q_calibration_stdev > 0:
-        raise NotImplementedError(
-            "calibration-noise propagation in triangulate() lands with the "
-            "uncertainty stage")
+        Var_p = Var_p + _triangulation_Var_calibration(
+            q, m0, m1, method, q_calibration_stdev)
     return p, Var_p
+
+
+def _triangulation_Var_calibration(q, m0, m1, method, q_calibration_stdev):
+    """Propagate calibration-time noise into the triangulated point
+    (reference: triangulation.py:1184 _triangulation_uncertainty_internal).
+    Both models must come from the same solve (shared optimization_inputs);
+    dp/db is computed by AD through unproject+transform+triangulate and
+    pushed through Var(b) with the standard machinery."""
+    from .optimize.layout import (spec_from_inputs, normalize_inputs,
+                                  corresponding_icam_extrinsics)
+    from .optimize.residuals import (arrays_from_inputs, params_from_arrays,
+                                     pack_params, split_packed_state)
+    from .model_analysis import _propagate_calibration_uncertainty
+    from .poseutils import _compose_rt2, _invert_rt, _rotate_point_r
+    from .lensmodels import unproject_core, parse_lensmodel
+
+    kw = m0.optimization_inputs()
+    if kw is None:
+        raise Exception("q_calibration_stdev requires models with "
+                        "optimization_inputs")
+    kw = normalize_inputs(kw)
+    spec = spec_from_inputs(**kw)
+    arrays = arrays_from_inputs(**kw)
+    b0 = pack_params(params_from_arrays(arrays), spec)
+    lm = parse_lensmodel(kw["lensmodel"])
+
+    icams = []
+    for m in (m0, m1):
+        ici = m.icam_intrinsics() or 0
+        try:
+            ice = corresponding_icam_extrinsics(ici, **kw)
+        except Exception:
+            ice = -1
+        icams.append((ici, ice))
+
+    q = jnp.asarray(q)
+
+    def F(db):
+        params = split_packed_state(b0 + db, arrays, spec)
+        ext_pad = jnp.concatenate(
+            [jnp.zeros((1, 6), b0.dtype), params["extrinsics"]], axis=0)
+        (ici0, ice0), (ici1, ice1) = icams
+        rt0 = ext_pad[ice0 + 1]
+        rt1 = ext_pad[ice1 + 1]
+        v0 = unproject_core(q[..., 0, :], params["intrinsics"][ici0], lm)
+        v1l = unproject_core(q[..., 1, :], params["intrinsics"][ici1], lm)
+        # camera1 -> camera0
+        rt01 = _compose_rt2(rt0, _invert_rt(rt1))
+        v1 = _rotate_point_r(rt01[..., :3], v1l)
+        t01 = rt01[..., 3:]
+        return method(v0, v1, t01)
+
+    dF = np.asarray(jax.jacrev(F)(jnp.zeros(spec.Nstate, b0.dtype)))
+    dF = dF.reshape(-1, 3, spec.Nstate) if dF.ndim > 2 else dF[None]
+    Var = _propagate_calibration_uncertainty(
+        dF, optimization_inputs=kw,
+        observed_pixel_uncertainty=q_calibration_stdev,
+        what="covariance")
+    Var = np.asarray(Var)
+    return Var[0] if dF.shape[0] == 1 else Var

@@ -89,3 +89,18 @@ def test_cahvor_roundtrip(tmp_path):
     assert np.allclose(m2.intrinsics()[1][4:], intr[4:], atol=1e-6)
     assert np.allclose(m2.extrinsics_rt_fromref(), m.extrinsics_rt_fromref(),
                        atol=1e-6)
+
+
+def test_cholmod_factorization_equivalent():
+    np.random.seed(0)
+    J = np.random.randn(40, 12)
+    f = mrcal.CHOLMOD_factorization(J)
+    bt = np.random.randn(5, 12)
+    xt = np.asarray(f.solve_xt_JtJ_bt(bt))
+    # xt JtJ = bt
+    assert np.allclose(xt @ (J.T @ J), bt, atol=1e-9)
+    # composing mode-L then mode-Lt solves == the full A solve
+    x1 = np.asarray(f.solve_xt_JtJ_bt(np.asarray(
+        f.solve_xt_JtJ_bt(bt, mode="L")), mode="Lt"))
+    assert np.allclose(x1, xt, atol=1e-9)
+    assert 0 < f.rcond() <= 1

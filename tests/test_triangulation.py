@@ -112,3 +112,63 @@ def test_triangulate_with_models():
     p2, Var = mrcal.triangulate(q, (m0, m1), q_observation_stdev=0.1)
     assert np.asarray(Var).shape == (3, 3)
     assert np.all(np.linalg.eigvalsh(np.asarray(Var)) >= 0)
+
+
+def test_triangulate_calibration_noise(tmp_path):
+    """triangulate() with q_calibration_stdev: propagate calibration-time
+    noise from the models' optimization_inputs into Var(p)."""
+    from test_calibration import make_scene, optimization_inputs_from_scene
+    scene = make_scene(Ncameras=2, Nframes=12, model="LENSMODEL_OPENCV4")
+    oi = {k: v for k, v in
+          optimization_inputs_from_scene(scene, perturb=False).items()
+          if v is not None}
+    np.random.seed(8)
+    oi["observations_board"][..., :2] += \
+        np.random.randn(*oi["observations_board"][..., :2].shape) * 0.3
+    oi["do_apply_outlier_rejection"] = False
+    mrcal.optimize(**oi)
+    m0 = mrcal.cameramodel(optimization_inputs=oi, icam_intrinsics=0)
+    m1 = mrcal.cameramodel(optimization_inputs=oi, icam_intrinsics=1)
+    m1.extrinsics_rt_fromref(oi["extrinsics_rt_fromref"][0])
+
+    p_true = np.array([0.1, -0.2, 3.0])
+    q0 = np.asarray(mrcal.project(p_true, *m0.intrinsics()))
+    p1 = np.asarray(mrcal.transform_point_rt(m1.extrinsics_rt_fromref(),
+                                             p_true))
+    q1 = np.asarray(mrcal.project(p1, *m1.intrinsics()))
+    q = np.stack([q0, q1])
+
+    p, Var = mrcal.triangulate(q, (m0, m1), q_calibration_stdev=0.3,
+                               q_observation_stdev=0.2)
+    assert np.allclose(np.asarray(p), p_true, atol=0.05)
+    Var = np.asarray(Var)
+    l = np.linalg.eigvalsh(Var)
+    assert np.all(l > 0)
+    # calibration noise must contribute: Var > observation-only Var
+    _, Var_obs = mrcal.triangulate(q, (m0, m1), q_observation_stdev=0.2)
+    assert np.trace(Var) > np.trace(np.asarray(Var_obs))
+
+
+def test_make_tracks():
+    from mrcal_tpu.synthetic_data import make_tracks
+    intr = np.array([800., 800., 600., 450.])
+    m = mrcal.cameramodel(intrinsics=("LENSMODEL_PINHOLE", intr),
+                          imagersize=(1200, 900), rt_cam_ref=np.zeros(6))
+    obs, idx, points, Rt_NED_cam = make_tracks(
+        m, Nobservations_total=200, track_length=4,
+        Nobservations_image=40, gridn=8, Npoint_observations_min=2,
+        Ncam_observing_min=2)
+    assert len(obs) >= 50
+    assert obs.shape[1] == 2
+    assert idx.shape == (len(obs), 2)
+    # every reported track has >= 2 observations
+    _, counts = np.unique(idx[:, 0], return_counts=True)
+    assert np.all(counts >= 2)
+    # observations reproject correctly
+    for k in range(0, len(obs), 17):
+        ip, ic = idx[k]
+        import mrcal_tpu.poseutils as pu
+        p_cam = np.asarray(pu.transform_point_Rt(
+            np.asarray(pu.invert_Rt(Rt_NED_cam[ic])), points[ip]))
+        q = np.asarray(mrcal.project(p_cam, *m.intrinsics()))
+        assert np.allclose(q, obs[k], atol=1e-6)
