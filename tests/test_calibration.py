@@ -9,23 +9,32 @@ import mrcal_tpu as mrcal
 
 
 def make_scene(Ncameras=1, Nframes=18, model="LENSMODEL_OPENCV4",
-               W=8, H=6, spacing=0.077, warp=(0.002, -0.001), seed=0):
+               W=8, H=6, spacing=0.077, warp=(0.002, -0.001), seed=0,
+               rig_spacing=None):
     np.random.seed(seed)
     imagersize = np.array([800, 600])
     intr_true = []
     for i in range(Ncameras):
-        fx = 750.0 + 20 * i
-        core = [fx, fx * 0.995, (imagersize[0] - 1) / 2 + 5 - 3 * i,
-                (imagersize[1] - 1) / 2 - 4 + 2 * i]
+        fx = 750.0 + 20 * (i % 4)
+        core = [fx, fx * 0.995, (imagersize[0] - 1) / 2 + 5 - 3 * (i % 4),
+                (imagersize[1] - 1) / 2 - 4 + 2 * (i % 4)]
         n = mrcal.lensmodel_num_params(model)
         dist = (np.random.randn(n - 4) * 1e-2).tolist()
         intr_true.append(core + dist)
     intr_true = np.array(intr_true)
 
-    # cameras: camera 0 at reference; others offset
-    ext_true = np.array([[0.01 * i, -0.02 * i, 0.005 * i,
-                          -0.22 * i, 0.02 * i, 0.01 * i]
-                         for i in range(1, Ncameras)]).reshape(-1, 6)
+    # cameras: camera 0 at reference; others offset.  For small rigs the
+    # default spread is wide; large rigs (many cameras) use a compact grid
+    # so every camera can still see the full board
+    if rig_spacing is None:
+        rig_spacing = 0.22 if Ncameras <= 4 else 0.03
+    ext_true = np.array(
+        [[0.002 * i, -0.004 * i, 0.001 * i,
+          -rig_spacing * ((i % 4) - 1.5), rig_spacing * ((i // 4) - 1.5),
+          0.002 * i]
+         for i in range(1, Ncameras)]).reshape(-1, 6)         if Ncameras > 4 else         np.array([[0.01 * i, -0.02 * i, 0.005 * i,
+                   -rig_spacing * i, 0.02 * i, 0.01 * i]
+                  for i in range(1, Ncameras)]).reshape(-1, 6)
 
     models = []
     for i in range(Ncameras):

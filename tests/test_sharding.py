@@ -66,3 +66,50 @@ def test_sharded_solve_agrees_with_host_solver(problem):
     # both should land at the same optimum (paths may differ slightly)
     assert np.isclose(E_host, E_mesh, rtol=1e-6)
     assert np.allclose(np.asarray(b_host), np.asarray(b_mesh), atol=1e-4)
+
+
+def test_16_camera_rig_sharded():
+    """BASELINE config 5: a 16-camera synthetic rig, observations sharded
+    over the 8-device mesh, solved to convergence; uncertainty propagation
+    runs on the result."""
+    scene = make_scene(Ncameras=16, Nframes=6, model="LENSMODEL_OPENCV4",
+                       seed=6)
+    oi = optimization_inputs_from_scene(scene, perturb=True)
+    np.random.seed(16)
+    oi["observations_board"][..., :2] += \
+        np.random.randn(*oi["observations_board"][..., :2].shape) * 0.2
+    spec = spec_from_inputs(**oi)
+    assert spec.Ncameras_intrinsics == 16
+    arrays = arrays_from_inputs(**oi)
+    b0 = pack_params(params_from_arrays(arrays), spec)
+
+    mesh = make_mesh(8)
+    b_mesh, E_mesh = sharded_lm_solve(spec, arrays, b0, mesh,
+                                      max_iterations=40)
+    from mrcal_tpu.optimize.solver import lm_solve
+    b_host, E_host, _, _ = lm_solve(spec, arrays, b0, max_iterations=40)
+    assert np.isclose(E_host, E_mesh, rtol=1e-6)
+    assert np.allclose(np.asarray(b_host), np.asarray(b_mesh), atol=1e-4)
+
+    # rms ~ noise on the sharded solution
+    Nboard = spec.num_measurements_boards
+    rms = np.sqrt(E_mesh / spec.Nmeasurements)
+    assert rms < 0.3
+
+    # uncertainty propagation on the converged 16-camera solution
+    from mrcal_tpu.optimize.residuals import split_packed_state
+    import jax.numpy as jnp
+    params = split_packed_state(jnp.asarray(b_mesh), arrays, spec)
+    oi_solved = dict(oi)
+    oi_solved["intrinsics"] = np.asarray(params["intrinsics"])
+    oi_solved["extrinsics_rt_fromref"] = np.asarray(params["extrinsics"])
+    oi_solved["frames_rt_toref"] = np.asarray(params["frames"])
+    oi_solved["calobject_warp"] = np.asarray(params["calobject_warp"])
+    oi_clean = {k: v for k, v in oi_solved.items() if v is not None}
+    m = mrcal.cameramodel(optimization_inputs=oi_clean, icam_intrinsics=3)
+    Var = np.asarray(mrcal.projection_uncertainty(
+        np.array([0.05, -0.02, 1.5]), m, method="mean-pcam",
+        observed_pixel_uncertainty=0.2))
+    l = np.linalg.eigvalsh(Var)
+    assert np.all(l > 0)
+    assert np.sqrt(l[-1]) < 2.0
