@@ -134,3 +134,38 @@ def test_stereo_matching_ncc():
     good = inner[inner > 0]
     assert len(good) > 0.8 * inner.size
     assert np.abs(np.median(good) - d_true) < 0.5
+
+
+def test_full_stereo_pipeline():
+    """End-to-end dense stereo: synthesize a textured plane at a known
+    depth, rectify, remap, NCC-match, range — recovers the plane depth
+    (validates the mrcal-stereo tool's pipeline)."""
+    from scipy.ndimage import zoom, gaussian_filter
+    from mrcal_tpu.stereo import stereo_matching_ncc
+    intr = np.array([700., 700., 399.5, 299.5])
+    m0 = mrcal.cameramodel(intrinsics=("LENSMODEL_PINHOLE", intr),
+                           imagersize=(800, 600), rt_cam_ref=np.zeros(6))
+    m1 = mrcal.cameramodel(intrinsics=("LENSMODEL_PINHOLE", intr),
+                           imagersize=(800, 600),
+                           rt_cam_ref=np.array([0., 0, 0, -0.3, 0, 0]))
+    np.random.seed(0)
+    base = np.random.rand(80, 100)
+    tex = gaussian_filter(zoom(base, (600 / 80, 800 / 100), order=1), 1.5)
+    img0 = (255 * (tex - tex.min()) / np.ptp(tex)).astype(np.uint8)
+    # cam1 image: remap cam0's view through the z=5 plane
+    mapxy = mrcal.image_transformation_map(
+        m0, m1, plane_n=np.array([0., 0, 1.]), plane_d=5.0)
+    img1 = mrcal.transform_image(img0, mapxy)
+
+    rect = mrcal.rectified_system([m0, m1], az_fov_deg=50, el_fov_deg=40)
+    maps = mrcal.rectification_maps([m0, m1], rect)
+    r0 = mrcal.transform_image(img0, maps[0])
+    r1 = mrcal.transform_image(img1, maps[1])
+    disp = stereo_matching_ncc(r0, r1, disparity_min=1, disparity_max=60,
+                               block_size=11)
+    ranges = np.asarray(mrcal.stereo_range(disp, rect, disparity_min=1.0))
+    H, W = ranges.shape
+    inner = ranges[H // 3:2 * H // 3, W // 3:2 * W // 3]
+    good = inner[inner > 0]
+    assert len(good) > 0.9 * inner.size
+    assert abs(np.median(good) - 5.0) < 0.15
