@@ -226,6 +226,57 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
                 Cp = scat_Cp(Cp, Ji, coli, cl.Nip)
             Cp = scat_Cp(Cp, Je, cole, 6)
 
+    if "tri_v0" in arrays and arrays["tri_v0"].shape[0]:
+        # triangulated-point pairwise measurements: touch ONLY extrinsics
+        # (intrinsics fixed; observation directions pre-unprojected).
+        # Pair data is pre-gathered host-side and sharded over the pair axis.
+        from ..triangulation import _triangulated_error
+        from ..poseutils import _rotate_point_r
+        v0 = arrays["tri_v0"]
+        v1 = arrays["tri_v1"]
+        tice0 = arrays["tri_ice0"]
+        tice1 = arrays["tri_ice1"]
+        tmask = arrays["tri_mask"]
+
+        def tri_fn(e0p, e1p, v0_1, v1_1):
+            sc = jnp.asarray(_EXT_SCALES, dt)
+            rt_0r = e0p * sc
+            rt_1r = e1p * sc
+            v0_ref = _rotate_point_r(rt_0r[:3], v0_1, inverted=True)
+            t_r0 = -_rotate_point_r(rt_0r[:3], rt_0r[3:], inverted=True)
+            v0_cam1 = _rotate_point_r(rt_1r[:3], v0_ref)
+            t_10 = _rotate_point_r(rt_1r[:3], t_r0) + rt_1r[3:]
+            return _triangulated_error(v1_1, v0_cam1, t_10)
+
+        e0g = ext_pad[tice0 + 1]
+        e1g = ext_pad[tice1 + 1]
+        r = jax.vmap(tri_fn)(e0g, e1g, v0, v1) * tmask
+        E = E + jnp.sum(r * r)
+        if s.do_optimize_extrinsics and spec.Ncameras_extrinsics:
+            J0 = jax.vmap(jax.grad(tri_fn, argnums=0))(e0g, e1g, v0, v1)
+            J1 = jax.vmap(jax.grad(tri_fn, argnums=1))(e0g, e1g, v0, v1)
+            J0 = J0 * (tmask * (tice0 >= 0).astype(dt))[:, None]
+            J1 = J1 * (tmask * (tice1 >= 0).astype(dt))[:, None]
+            col0 = cl.e0 + 6 * jnp.maximum(tice0, 0)
+            col1 = cl.e0 + 6 * jnp.maximum(tice1, 0)
+
+            def scat_g(g_c, J, col):
+                idxs = col[:, None] + jnp.arange(6)[None, :]
+                return g_c.at[idxs].add(J * r[:, None])
+
+            def scat_Ht(H, JA, colA, JB, colB):
+                blk = jnp.einsum("oi,oj->oij", JA, JB)
+                ridx = (colA[:, None] + jnp.arange(6)[None, :])[:, :, None]
+                cidx = (colB[:, None] + jnp.arange(6)[None, :])[:, None, :]
+                return H.at[ridx, cidx].add(blk)
+
+            g_c = scat_g(g_c, J0, col0)
+            g_c = scat_g(g_c, J1, col1)
+            Hcc = scat_Ht(Hcc, J0, col0, J0, col0)
+            Hcc = scat_Ht(Hcc, J1, col1, J1, col1)
+            Hcc = scat_Ht(Hcc, J0, col0, J1, col1)
+            Hcc = scat_Ht(Hcc, J1, col1, J0, col0)
+
     return dict(E=E, g_c=g_c, g_f=g_f, g_p=g_p, Hcc=Hcc, Hff=Hff, Cf=Cf,
                 Hpp=Hpp, Cp=Cp)
 
@@ -248,6 +299,8 @@ def _reg_contrib(spec: ProblemSpec, b, arrays):
             cols.append(row[..., :4])
         if s.do_optimize_intrinsics_distortions:
             cols.append(row[..., spec.Ncore:])
+        if not cols:
+            return jnp.zeros(row.shape[:-1] + (0,), dt)
         return jnp.concatenate(cols, axis=-1) / iscales
 
     from ..optimize.solver import _merge_intrinsics
@@ -268,6 +321,21 @@ def _reg_contrib(spec: ProblemSpec, b, arrays):
         if cl.Nip:
             g_c = g_c.at[i0:i0 + cl.Nip].add(J[ci].T @ r[ci])
             Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(J[ci].T @ J[ci])
+    if (s.do_apply_regularization_unity_cam01 and s.do_optimize_extrinsics
+            and spec.Ncameras_extrinsics > 0):
+        from ..optimize import layout as _lay
+        ext_packed = params["extrinsics"] / jnp.asarray(_EXT_SCALES, dt)
+
+        def unity_fn(e0p):
+            t0 = e0p[3:] * _lay.SCALE_TRANSLATION_CAMERA
+            return (0.1 / 0.01) * (jnp.sum(t0 * t0) - 1.0)
+
+        ru = unity_fn(ext_packed[0])
+        Ju = jax.grad(unity_fn)(ext_packed[0])
+        E = E + ru * ru
+        e0 = cl.cole(0)
+        g_c = g_c.at[e0:e0 + 6].add(Ju * ru)
+        Hcc = Hcc.at[e0:e0 + 6, e0:e0 + 6].add(jnp.outer(Ju, Ju))
     return dict(E=E, g_c=g_c, Hcc=Hcc)
 
 
@@ -285,15 +353,21 @@ def sharded_normal_equations(spec: ProblemSpec, mesh, axis="obs"):
         # jacrev, double-counting once we psum the accumulated blocks
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), P(axis), P(axis), P(axis),
-                           P(axis), P(axis), P(axis)),
+                           P(axis), P(axis), P(axis),
+                           P(axis), P(axis), P(axis), P(axis), P(axis)),
                  out_specs=P(), check_vma=False)
         def fn(b, obs_board, idx_board, mask_b, obs_point, idx_point,
-               mask_p):
+               mask_p, tri_v0, tri_v1, tri_ice0, tri_ice1, tri_mask):
             arr = dict(nonrep)
             arr["observations_board"] = obs_board
             arr["indices_board"] = idx_board
             arr["observations_point"] = obs_point
             arr["indices_point"] = idx_point
+            arr["tri_v0"] = tri_v0
+            arr["tri_v1"] = tri_v1
+            arr["tri_ice0"] = tri_ice0
+            arr["tri_ice1"] = tri_ice1
+            arr["tri_mask"] = tri_mask
             ne = _local_normal_equations(spec, b, arr, mask_b, mask_p)
             ne = jax.tree.map(partial(jax.lax.psum, axis_name=axis), ne)
             reg = _reg_contrib(spec, b, arr)
@@ -319,9 +393,10 @@ def sharded_lm_step(spec: ProblemSpec, mesh, axis="obs"):
 
         @jax.jit
         def step(b, obs_board, idx_board, mask_b, obs_point, idx_point,
-                 mask_p, lam):
+                 mask_p, tv0, tv1, te0, te1, tm, lam):
             ne = ne_fn(b, obs_board, idx_board, mask_b,
-                       obs_point, idx_point, mask_p)
+                       obs_point, idx_point, mask_p,
+                       tv0, tv1, te0, te1, tm)
             dc, df, dp = schur_step(ne, lam, spec)
             db = _delta_to_b(dc, df, dp, spec)
             g = _g_to_b(ne, spec)
@@ -360,18 +435,49 @@ def _padded_shard_arrays(arrays, n_dev):
         obsp_p[:Np] = obsp
         idxp_p[:Np] = idxp
         mask_p[:Np] = 1.0
+
+    # triangulated pairs (pre-gathered so the PAIR axis shards)
+    px = np.asarray(arrays.get("px_triangulated",
+                               np.zeros((0, 3))))
+    if px.shape[0]:
+        from ..optimize.layout import triangulated_pair_indices
+        from ..optimize.layout import _triangulated_set_sizes
+        idxt = np.asarray(arrays["indices_triangulated"])
+        w = np.asarray(arrays["observations_point_triangulated"])[:, 2]
+        sizes = _triangulated_set_sizes(idxt)
+        i0, i1 = triangulated_pair_indices(sizes)
+        Ntp = len(i0)
+        Ntpad = _pad_to(max(Ntp, 1), n_dev)
+        tv0 = np.zeros((Ntpad, 3))
+        tv1 = np.zeros((Ntpad, 3))
+        tv0[:Ntp] = px[i0]
+        tv1[:Ntp] = px[i1]
+        te0 = np.zeros(Ntpad, np.int32)
+        te1 = np.zeros(Ntpad, np.int32)
+        te0[:Ntp] = idxt[i0, 2]
+        te1[:Ntp] = idxt[i1, 2]
+        tm = np.zeros(Ntpad)
+        tm[:Ntp] = ((w[i0] > 0) & (w[i1] > 0)).astype(float)
+        # padding rows: v0 == v1 would produce NaN in the error; give them
+        # benign geometry (masked anyway)
+        tv0[Ntp:] = [0, 0, 1.0]
+        tv1[Ntp:] = [0.1, 0, 1.0]
+    else:
+        Ntpad = n_dev
+        tv0 = np.tile([0, 0, 1.0], (Ntpad, 1))
+        tv1 = np.tile([0.1, 0, 1.0], (Ntpad, 1))
+        te0 = np.zeros(Ntpad, np.int32)
+        te1 = np.zeros(Ntpad, np.int32)
+        tm = np.zeros(Ntpad)
     return tuple(jnp.asarray(a) for a in
-                 (obs_p, idx_p, mask_b, obsp_p, idxp_p, mask_p))
+                 (obs_p, idx_p, mask_b, obsp_p, idxp_p, mask_p,
+                  tv0, tv1, te0, te1, tm))
 
 
 def sharded_lm_solve(spec: ProblemSpec, arrays, b0, mesh,
                      max_iterations=50, update_threshold=1e-7):
     """LM to convergence with observation sharding (host loop over the
     jitted sharded step)."""
-    if spec.num_measurements_points_triangulated:
-        raise NotImplementedError(
-            "triangulated-point measurements in the sharded path: use the "
-            "host solver (mrcal_tpu.optimize.solver) for now")
     n_dev = mesh.devices.size
     shard_args = _padded_shard_arrays(arrays, n_dev)
     step_fn = sharded_lm_step(spec, mesh)(arrays)

@@ -113,3 +113,37 @@ def test_16_camera_rig_sharded():
     l = np.linalg.eigvalsh(Var)
     assert np.all(l > 0)
     assert np.sqrt(l[-1]) < 2.0
+
+
+def test_sharded_triangulated_solve():
+    """Triangulated-point measurements in the sharded path: pair axis
+    sharded over the mesh; matches the host solver."""
+    from test_sfm_triangulated import make_scene as make_tri_scene
+    scene = make_tri_scene(Ncameras=4, Npoints=40, sigma_px=0.3, seed=3)
+    np.random.seed(4)
+    rt_noisy = scene["rt_true"][1:].copy()
+    rt_noisy[:, :3] += np.random.randn(*rt_noisy[:, :3].shape) * 0.005
+    rt_noisy[:, 3:] += np.random.randn(*rt_noisy[:, 3:].shape) * 0.02
+    oi = dict(
+        intrinsics=scene["intrinsics"],
+        rt_cam_ref=rt_noisy,
+        observations_point_triangulated=scene["observations"],
+        indices_point_triangulated_camintrinsics_camextrinsics=scene["indices"],
+        lensmodel=scene["lensmodel"],
+        imagersizes=scene["imagersizes"],
+        do_optimize_intrinsics_core=False,
+        do_optimize_intrinsics_distortions=False,
+        do_apply_regularization_unity_cam01=True,
+    )
+    spec = spec_from_inputs(**oi)
+    assert spec.num_measurements_points_triangulated > 0
+    arrays = arrays_from_inputs(**oi)
+    b0 = pack_params(params_from_arrays(arrays), spec)
+
+    from mrcal_tpu.optimize.solver import lm_solve
+    b_host, E_host, _, _ = lm_solve(spec, arrays, b0, max_iterations=40)
+    mesh = make_mesh(8)
+    b_mesh, E_mesh = sharded_lm_solve(spec, arrays, b0, mesh,
+                                      max_iterations=40)
+    assert np.isclose(E_host, E_mesh, rtol=1e-6)
+    assert np.allclose(np.asarray(b_host), np.asarray(b_mesh), atol=1e-5)
