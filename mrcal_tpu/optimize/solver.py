@@ -160,6 +160,17 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
     where b is the packed state; H/C are the block normal-equation pieces in
     packed coordinates.  static_idx carries numpy copies of the index arrays
     (used for static pair grouping at trace time)."""
+    if _splined_fast_path_ok(spec, static_idx) and \
+            _os.environ.get("MRCAL_TPU_SPLINED_SPARSE"):
+        # splined models: sparse spline-window assembly.  Verified equal to
+        # this generic path to machine precision, and MEASURED SLOWER on
+        # TPU (3.7 vs 23 it/s on the canonical 30x18 scene): the
+        # scatter-adds serialize on the VPU while the dense per-observation
+        # Jacobian rides the MXU.  Kept opt-in: it wins when the dense
+        # (rows x 2NxNy) blocks stop fitting (very large knot grids), and
+        # on CPU.
+        return build_normal_equations_splined(spec, arrays, static_idx)
+
     s = spec.selections
     cl = _CLayout(spec)
     Nf = spec.Nframes
@@ -839,3 +850,288 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     b, E, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
                      jnp.asarray(eff_threshold, b0.dtype))
     return b, float(E), int(it)
+
+
+# ----------------------------------------------------------------------------
+# splined-model specialization: sparse spline-window assembly
+# ----------------------------------------------------------------------------
+
+def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
+                                   static_idx):
+    """Normal equations for LENSMODEL_SPLINED_STEREOGRAPHIC exploiting the
+    spline-window sparsity: each corner's residual depends on only the
+    (order+1)^2-knot window (x2 surfaces), so the intrinsics Jacobian is a
+    per-corner (2, 2R^2) block scattered into the per-camera Hessian —
+    never the dense (rows, 2 Nx Ny) matrix (reference sparsity:
+    gradient_sparse_meta_t, mrcal.c:2298-2303).
+
+    Supports the standard splined configuration: intrinsics CORE LOCKED
+    (the reference locks it too: the core is redundant with the surface),
+    distortions optimized.  Other configs fall back to the generic path."""
+    from ..lensmodels import (splined_window_index, _bspline_weights_cubic,
+                              _bspline_weights_quadratic, stereographic_uv)
+    s = spec.selections
+    lm = spec.lensmodel
+    cl = _CLayout(spec)
+    Nf = spec.Nframes
+    R = lm.order + 1
+    Nwin = 2 * R * R
+    H_n = spec.calibration_object_height_n
+    W_n = spec.calibration_object_width_n
+    Ncorners = H_n * W_n
+
+    # static per-corner board grid coords
+    cx = np.tile(np.arange(W_n), H_n).astype(np.float64)
+    cy = np.repeat(np.arange(H_n), W_n).astype(np.float64)
+
+    def corner_fn(pose, win, ixy0, corner_xy, obs_c, core4, warp_fixed):
+        """One corner's residual as a function of the pose blocks (packed)
+        and its gathered spline window.  ixy0: the (ix0, iy0) window origin
+        (ints, fixed in this evaluation)."""
+        dt = core4.dtype
+        rt_cam = pose["ext"] * jnp.asarray(_EXT_SCALES, dt)
+        rt_frame = pose["frame"] * jnp.asarray(_FRAME_SCALES, dt)
+        if spec.has_calobject_warp:
+            warp = pose["warp"] * jnp.asarray(_WARP_SCALES, dt)
+        else:
+            warp = warp_fixed
+        xr = corner_xy[0] / (W_n - 1)
+        yr = corner_xy[1] / (H_n - 1)
+        z = (warp[0] * 4.0 * xr * (1.0 - xr) +
+             warp[1] * 4.0 * yr * (1.0 - yr))
+        pt_ref = jnp.stack([corner_xy[0] * spec.calibration_object_spacing,
+                            corner_xy[1] * spec.calibration_object_spacing,
+                            z])
+        rt_joint = _compose_rt2(rt_cam, rt_frame)
+        p = _transform_point_rt(rt_joint, pt_ref)
+        u = stereographic_uv(p)
+        spu = lm.segments_per_u
+        ix = u[0] * spu + (lm.Nx - 1) / 2.0
+        iy = u[1] * spu + (lm.Ny - 1) / 2.0
+        tx = ix - ixy0[0]
+        ty = iy - ixy0[1]
+        wts = (_bspline_weights_cubic if lm.order == 3
+               else _bspline_weights_quadratic)
+        wx = wts(tx)
+        wy = wts(ty)
+        du = jnp.einsum("i,j,ijk->k", wy, wx, win)
+        fx, fy, cx_, cy_ = core4[0], core4[1], core4[2], core4[3]
+        q = jnp.stack([(u[0] + du[0]) * fx + cx_,
+                       (u[1] + du[1]) * fy + cy_])
+        w = jnp.maximum(obs_c[2], 0.0)
+        return (q - obs_c[:2]) * w
+
+    def f(b, arrays):
+        dt = b.dtype
+        params = split_packed_state(b, arrays, spec)
+        intr_full = params["intrinsics"]
+        ext_packed = params["extrinsics"] / jnp.asarray(_EXT_SCALES, dt)
+        ext_pad = jnp.concatenate([jnp.zeros((1, 6), dt), ext_packed], 0)
+        frames_packed = params["frames"] / jnp.asarray(_FRAME_SCALES, dt)
+        warp_packed = params["calobject_warp"] / jnp.asarray(_WARP_SCALES, dt)
+
+        idx = arrays["indices_board"]
+        obs = arrays["observations_board"]
+        Nobs = idx.shape[0]
+        ifr, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+
+        # ---- corner-level flattening ----
+        N = Nobs * Ncorners
+        ifr_c = jnp.repeat(ifr, Ncorners)
+        ici_c = jnp.repeat(ici, Ncorners)
+        ice_c = jnp.repeat(ice, Ncorners)
+        obs_c = obs.reshape(N, 3)
+        corner_xy = jnp.asarray(np.stack(
+            [np.tile(cx, Nobs), np.tile(cy, Nobs)], axis=-1), dt)
+
+        pose = dict(ext=ext_pad[ice_c + 1],
+                    frame=frames_packed[ifr_c],
+                    warp=jnp.broadcast_to(warp_packed, (N, 2)))
+        core4 = intr_full[ici_c, :4]
+
+        # ---- window gather (forward pass to find windows) ----
+        coeffs = intr_full[:, 4:].reshape(
+            spec.Ncameras_intrinsics, lm.Ny, lm.Nx, 2)
+
+        def window_of(pose1, core1, cxy1, ici1):
+            rt_joint = _compose_rt2(
+                pose1["ext"] * jnp.asarray(_EXT_SCALES, dt),
+                pose1["frame"] * jnp.asarray(_FRAME_SCALES, dt))
+            if spec.has_calobject_warp:
+                warp = pose1["warp"] * jnp.asarray(_WARP_SCALES, dt)
+            else:
+                warp = params["calobject_warp"]
+            xr = cxy1[0] / (W_n - 1)
+            yr = cxy1[1] / (H_n - 1)
+            z = (warp[0] * 4.0 * xr * (1.0 - xr) +
+                 warp[1] * 4.0 * yr * (1.0 - yr))
+            pt_ref = jnp.stack([cxy1[0] * spec.calibration_object_spacing,
+                                cxy1[1] * spec.calibration_object_spacing,
+                                z])
+            p = _transform_point_rt(rt_joint, pt_ref)
+            u = stereographic_uv(p)
+            ix0, iy0, _, _ = splined_window_index(u, lm)
+            offs = jnp.arange(R, dtype=jnp.int32)
+            iyw = iy0 - 1 + offs
+            ixw = ix0 - 1 + offs
+            win = coeffs[ici1, iyw[:, None], ixw[None, :], :]  # (R,R,2)
+            return win, jnp.stack([ix0, iy0])
+
+        win, ixy0 = jax.vmap(window_of)(pose, core4, corner_xy, ici_c)
+        ixy0 = jax.lax.stop_gradient(ixy0)
+
+        r = jax.vmap(corner_fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            pose, win, ixy0, corner_xy, obs_c, core4,
+            params["calobject_warp"])                    # (N, 2)
+        Jp = jax.vmap(jax.jacrev(corner_fn, argnums=0),
+                      in_axes=(0, 0, 0, 0, 0, 0, None))(
+            pose, win, ixy0, corner_xy, obs_c, core4,
+            params["calobject_warp"])                    # dict of (N,2,*)
+        Jw = jax.vmap(jax.jacrev(corner_fn, argnums=1),
+                      in_axes=(0, 0, 0, 0, 0, 0, None))(
+            pose, win, ixy0, corner_xy, obs_c, core4,
+            params["calobject_warp"]).reshape(N, 2, R * R * 2)
+
+        Je = _zero_if(s.do_optimize_extrinsics, Jp["ext"]) \
+            * (ice_c >= 0)[:, None, None].astype(dt)
+        Jf = _zero_if(s.do_optimize_frames, Jp["frame"])
+        Jwp = _zero_if(spec.has_calobject_warp, Jp["warp"])
+
+        # absolute intrinsics-state columns of the window entries, per
+        # corner: per-camera block at coli(ici) + 2*(iy*Nx + ix) + k
+        # (core locked: Nip == 2 Nx Ny)
+        offs = jnp.arange(R, dtype=jnp.int32)
+        iyw = ixy0[:, 1:2] - 1 + offs[None, :]           # (N,R)
+        ixw = ixy0[:, 0:1] - 1 + offs[None, :]           # (N,R)
+        flat = (iyw[:, :, None] * lm.Nx + ixw[:, None, :])  # (N,R,R)
+        wincols = ici_c[:, None, None, None] * cl.Nip + \
+            (2 * flat)[..., None] + jnp.arange(2, dtype=jnp.int32)
+        wincols = wincols.reshape(N, R * R * 2)          # (N, Nwin)
+
+        Nc = cl.Nc
+        E = jnp.sum(r * r)
+        g_c = jnp.zeros(Nc, dt)
+        Hcc = jnp.zeros((Nc, Nc), dt)
+        g_f = jnp.zeros((max(Nf, 1), 6), dt)
+        Hff = jnp.zeros((max(Nf, 1), 6, 6), dt)
+        Cf = jnp.zeros((max(Nf, 1), 6, Nc), dt)
+
+        # intrinsics window blocks
+        gw = jnp.einsum("nri,nr->ni", Jw, r)             # (N, Nwin)
+        g_c = g_c.at[wincols].add(gw)
+        Hww_blk = jnp.einsum("nri,nrj->nij", Jw, Jw)     # (N,Nwin,Nwin)
+        Hcc = Hcc.at[wincols[:, :, None], wincols[:, None, :]].add(Hww_blk)
+
+        # extrinsics
+        cole = cl.e0 + 6 * jnp.maximum(ice_c, 0)
+        ecols = cole[:, None] + jnp.arange(6)[None, :]
+        g_c = g_c.at[ecols].add(jnp.einsum("nri,nr->ni", Je, r))
+        Hcc = Hcc.at[ecols[:, :, None], ecols[:, None, :]].add(
+            jnp.einsum("nri,nrj->nij", Je, Je))
+        Hwe = jnp.einsum("nri,nrj->nij", Jw, Je)
+        Hcc = Hcc.at[wincols[:, :, None], ecols[:, None, :]].add(Hwe)
+        Hcc = Hcc.at[ecols[:, :, None], wincols[:, None, :]].add(
+            jnp.swapaxes(Hwe, 1, 2))
+
+        # warp
+        wcols = cl.w0 + jnp.arange(2)
+        g_c = g_c.at[cl.w0:cl.w0 + 2].add(
+            jnp.einsum("nri,nr->i", Jwp, r))
+        Hcc = Hcc.at[cl.w0:cl.w0 + 2, cl.w0:cl.w0 + 2].add(
+            jnp.einsum("nri,nrj->ij", Jwp, Jwp))
+        Hww2 = jnp.einsum("nri,nrj->nij", Jw, Jwp)       # (N,Nwin,2)
+        Hcc = Hcc.at[wincols[:, :, None],
+                     wcols[None, None, :]].add(Hww2)
+        Hcc = Hcc.at[wcols[None, :, None],
+                     wincols[:, None, :]].add(jnp.swapaxes(Hww2, 1, 2))
+        Hew = jnp.einsum("nri,nrj->nij", Je, Jwp)
+        Hcc = Hcc.at[ecols[:, :, None], wcols[None, None, :]].add(Hew)
+        Hcc = Hcc.at[wcols[None, :, None], ecols[:, None, :]].add(
+            jnp.swapaxes(Hew, 1, 2))
+
+        # frames
+        if Nf:
+            g_f = g_f.at[:Nf].add(
+                _seg(jnp.einsum("nri,nr->ni", Jf, r), ifr_c,
+                     num_segments=Nf))
+            Hff = Hff.at[:Nf].add(
+                _seg(jnp.einsum("nri,nrj->nij", Jf, Jf), ifr_c,
+                     num_segments=Nf))
+            # Cf: frame x (win | ext | warp)
+            Cfw = jnp.einsum("nri,nrj->nij", Jf, Jw)     # (N,6,Nwin)
+            Cf = Cf.at[ifr_c[:, None, None],
+                       jnp.arange(6)[None, :, None],
+                       wincols[:, None, :]].add(Cfw)
+            Cfe = jnp.einsum("nri,nrj->nij", Jf, Je)
+            Cf = Cf.at[ifr_c[:, None, None],
+                       jnp.arange(6)[None, :, None],
+                       ecols[:, None, :]].add(Cfe)
+            Cfwp = jnp.einsum("nri,nrj->nij", Jf, Jwp)
+            Cf = Cf.at[ifr_c[:, None, None],
+                       jnp.arange(6)[None, :, None],
+                       wcols[None, None, :]].add(Cfwp)
+
+        x_board = r.reshape(Nobs, Ncorners, 2).reshape(-1)
+
+        # ---- regularization (same as generic path) ----
+        x_reg = jnp.zeros((0,), dt)
+        if spec.num_measurements_regularization:
+            iscales = jnp.asarray(_intr_scales(spec), dt)
+
+            def intr_state_packed(row):
+                cols = []
+                if spec.Ncore_state:
+                    cols.append(row[..., :4])
+                if s.do_optimize_intrinsics_distortions:
+                    cols.append(row[..., spec.Ncore:])
+                return jnp.concatenate(cols, axis=-1) / iscales
+
+            targets = jnp.asarray(
+                [[(w - 1) * 0.5, (h - 1) * 0.5]
+                 for w, h in spec.imagersizes], dt)
+
+            def reg_fn(st, fx_, tg):
+                return _reg_per_camera(
+                    _merge_intrinsics(st, fx_, spec), spec, dt, tg)
+
+            stp = intr_state_packed(intr_full)
+            rreg = jax.vmap(reg_fn)(stp, intr_full, targets)
+            Jreg = jax.vmap(jax.jacrev(reg_fn))(stp, intr_full, targets)
+            E = E + jnp.sum(rreg * rreg)
+            for ci in range(spec.Ncameras_intrinsics):
+                i0 = cl.coli(ci)
+                if cl.Nip:
+                    g_c = g_c.at[i0:i0 + cl.Nip].add(Jreg[ci].T @ rreg[ci])
+                    Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(
+                        Jreg[ci].T @ Jreg[ci])
+            ndist_terms = (spec.Ndistortions
+                           if (s.do_apply_regularization
+                               and s.do_optimize_intrinsics_distortions)
+                           else 0)
+            x_reg = jnp.concatenate([
+                rreg[:, :ndist_terms].reshape(-1),
+                rreg[:, ndist_terms:].reshape(-1)])
+
+        Npv = spec.Npoints_variable
+        return dict(E=E, g_c=g_c, g_f=g_f,
+                    g_p=jnp.zeros((max(Npv, 1), 3), dt),
+                    Hcc=Hcc, Hff=Hff, Cf=Cf,
+                    Hpp=jnp.zeros((max(Npv, 1), 3, 3), dt),
+                    Cp=jnp.zeros((max(Npv, 1), 3, Nc), dt),
+                    x_board=x_board,
+                    x_point=jnp.zeros((0,), dt),
+                    x_tri=jnp.zeros((0,), dt),
+                    x_reg=x_reg)
+
+    return f
+
+
+def _splined_fast_path_ok(spec: ProblemSpec, static_idx):
+    """The sparse-window specialization applies to the standard splined
+    configuration: boards only, core locked, distortions optimized."""
+    return (spec.is_splined
+            and spec.Ncore_state == 0
+            and spec.selections.do_optimize_intrinsics_distortions
+            and spec.Nobservations_point == 0
+            and spec.num_measurements_points_triangulated == 0
+            and spec.Nobservations_board > 0)

@@ -76,3 +76,62 @@ def test_splined_regularization_measurement_count():
     )
     # splined: 2 reg measurements per knot + 2 centerpixel
     assert mrcal.num_measurements_regularization(**oi_min) == 2 * 9 * 7 + 2
+
+
+def test_splined_sparse_assembly_matches_generic():
+    """The sparse spline-window normal-equation assembly must match the
+    generic dense-Jacobian path to machine precision (incl. outliers and
+    weighted corners)."""
+    import jax
+    from mrcal_tpu.optimize.layout import spec_from_inputs
+    from mrcal_tpu.optimize.residuals import (arrays_from_inputs,
+                                              params_from_arrays, pack_params)
+    from mrcal_tpu.optimize import solver as S
+
+    np.random.seed(0)
+    Nk2 = 2 * 9 * 7
+    intr = np.concatenate([[420., 419., 399.5, 299.5],
+                           np.random.randn(Nk2) * 2e-3])[None]
+    Nframes = 5
+    frames = np.concatenate(
+        [np.random.randn(Nframes, 3) * 0.3,
+         np.array([[0.02, -0.03, 0.9]]) + np.random.randn(Nframes, 3) * 0.1],
+        axis=1)
+    H, W = 6, 8
+    oi = dict(intrinsics=intr, extrinsics_rt_fromref=np.zeros((0, 6)),
+              frames_rt_toref=frames,
+              observations_board=np.zeros((Nframes, H, W, 3)),
+              indices_frame_camintrinsics_camextrinsics=np.array(
+                  [[f, 0, -1] for f in range(Nframes)], np.int32),
+              lensmodel=MODEL, imagersizes=np.array([[800, 600]]),
+              calobject_warp=np.array([0.002, -0.001]),
+              calibration_object_spacing=0.08,
+              do_optimize_intrinsics_core=False)
+    oi["observations_board"][..., 2] = 1.0
+    from mrcal_tpu.synthetic_data import make_perfect_observations
+    make_perfect_observations(oi, observed_pixel_uncertainty=0.3)
+    oi["observations_board"][0, 0, 0, 2] = -1.0      # outlier
+    oi["observations_board"][2, 3, 4, 2] = 0.5       # downweighted
+
+    spec = spec_from_inputs(**oi)
+    assert S._splined_fast_path_ok(spec, None)
+    arrays = arrays_from_inputs(**oi)
+    b0 = pack_params(params_from_arrays(arrays), spec)
+    static_idx = dict(board=np.asarray(arrays["indices_board"]),
+                      point=np.asarray(arrays["indices_point"]))
+    # bypass the dispatch to build BOTH paths
+    spec_generic = spec
+    ne_s = jax.tree.map(np.asarray, S.build_normal_equations_splined(
+        spec, arrays, static_idx)(b0, arrays))
+    # generic: construct without the fast path by calling the inner builder
+    import unittest.mock as mock
+    with mock.patch.object(S, "_splined_fast_path_ok",
+                           lambda *a, **k: False):
+        ne_g = jax.tree.map(np.asarray, S.build_normal_equations(
+            spec, arrays, static_idx)(b0, arrays))
+    for k in ne_g:
+        a, b = ne_g[k], ne_s[k]
+        assert a.shape == b.shape, k
+        if a.size:
+            scale = max(1.0, np.abs(a).max())
+            assert np.abs(a - b).max() / scale < 1e-12, k
