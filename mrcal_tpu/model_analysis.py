@@ -174,6 +174,15 @@ def projection_uncertainty(p_cam, model, *,
     # For mean-pcam: p is anchored to the frames; each frame "carries" the
     # point, and we average the perturbed projections over frames
     # (reference: model_analysis.py:873-1020, the 'mean-pcam' branch).
+    def _tx(rt, x, inverted=False):
+        """transform, or rotate-only when propagating at infinity
+        (translations are irrelevant for directions; reference
+        model_analysis atinfinity semantics)."""
+        if atinfinity:
+            return poseutils._rotate_point_r(rt[..., :3], x,
+                                             inverted=inverted)
+        return poseutils._transform_point_rt(rt, x, inverted=inverted)
+
     def F(b_packed_delta):
         from .optimize.residuals import split_packed_state, arrays_from_inputs
         from .optimize.residuals import pack_params, params_from_arrays
@@ -190,21 +199,20 @@ def projection_uncertainty(p_cam, model, *,
             rt_cam_ref0 = jnp.zeros(6, dt)
             rt_cam_ref_p = jnp.zeros(6, dt)
         # reference point in the unperturbed ref frame
-        p_ref0 = poseutils._transform_point_rt(rt_cam_ref0, p_cam,
-                                               inverted=True)
+        p_ref0 = _tx(rt_cam_ref0, p_cam, inverted=True)
         if spec.Nframes:
             # carry through each (unperturbed -> perturbed) frame, average
             rt_f0 = jnp.asarray(np.asarray(kw["frames_rt_toref"]), dt)
-            p_frames = poseutils._transform_point_rt(
+            p_frames = _tx(
                 rt_f0[:, None] if p_ref0.ndim > 1 else rt_f0,
                 p_ref0, inverted=True)     # (Nframes, ..., 3)
-            p_ref_p = poseutils._transform_point_rt(
+            p_ref_p = _tx(
                 params["frames"][:, None] if p_ref0.ndim > 1
                 else params["frames"], p_frames)
             p_ref_p = jnp.mean(p_ref_p, axis=0)
         else:
             p_ref_p = p_ref0
-        p_cam_p = poseutils._transform_point_rt(rt_cam_ref_p, p_ref_p)
+        p_cam_p = _tx(rt_cam_ref_p, p_ref_p)
         from .lensmodels import project_core, parse_lensmodel
         return project_core(p_cam_p, intr_p, parse_lensmodel(lensmodel))
 

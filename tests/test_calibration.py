@@ -220,3 +220,20 @@ def test_outlier_rejection():
     assert oi["observations_board"][0, 0, 0, 2] < 0
     assert oi["observations_board"][3, 2, 1, 2] < 0
     assert stats["rms_reproj_error__pixels"] < sigma * 1.3
+
+
+def test_pack_unpack_invariance():
+    """pack/unpack round trips (mirrors the reference's test-linearizations
+    pack-state checks)."""
+    scene = make_scene(Ncameras=2, Nframes=5)
+    oi = optimization_inputs_from_scene(scene, perturb=True)
+    b, x, J = mrcal.optimizer_callback(**oi)
+    b_u = mrcal.unpack_state(b.copy(), **oi)
+    b_p = mrcal.pack_state(b_u.copy(), **oi)
+    assert np.allclose(b_p, b, rtol=1e-12)
+    # J column scaling: pack then unpack restores J
+    from mrcal_tpu.optimize.layout import spec_from_inputs
+    spec = spec_from_inputs(**oi)
+    Jd = np.asarray(J.todense())
+    J2 = (Jd / spec.scales()[None, :]) * spec.scales()[None, :]
+    assert np.allclose(J2, Jd, rtol=1e-12)

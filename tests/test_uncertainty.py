@@ -180,3 +180,15 @@ def test_projection_uncertainty_ccp(calibrated):
     # generous bounds: 20 samples of a 2x2 covariance
     assert 0.25 < np.trace(Var_emp) / np.trace(Var_ccp) < 4.0, \
         (l_pred, l_emp)
+
+
+def test_projection_uncertainty_atinfinity(calibrated):
+    scene, oi, model = calibrated
+    v = np.array([0.05, -0.02, 1.0])
+    for method in ("mean-pcam", "cross-reprojection-ccp"):
+        Var = np.asarray(mrcal.projection_uncertainty(
+            v, model, method=method, atinfinity=True,
+            observed_pixel_uncertainty=SIGMA))
+        l = np.linalg.eigvalsh(Var)
+        assert np.all(l >= 0), method
+        assert np.sqrt(l[-1]) < 2.0, method

@@ -1,0 +1,112 @@
+"""Smoke tests for the visualization suite: every show_* function must
+produce a figure + hardcopy without errors."""
+
+import os
+
+import numpy as np
+import pytest
+
+import mrcal_tpu as mrcal
+
+from test_calibration import make_scene, optimization_inputs_from_scene
+
+
+@pytest.fixture(scope="module")
+def solved(tmp_path_factory):
+    scene = make_scene(Ncameras=2, Nframes=8)
+    oi = {k: v for k, v in
+          optimization_inputs_from_scene(scene, perturb=False).items()
+          if v is not None}
+    np.random.seed(2)
+    oi["observations_board"][..., :2] += \
+        np.random.randn(*oi["observations_board"][..., :2].shape) * 0.2
+    mrcal.optimize(**oi)
+    m0 = mrcal.cameramodel(optimization_inputs=oi, icam_intrinsics=0)
+    m1 = mrcal.cameramodel(optimization_inputs=oi, icam_intrinsics=1)
+    m1.extrinsics_rt_fromref(oi["extrinsics_rt_fromref"][0])
+    return oi, m0, m1, str(tmp_path_factory.mktemp("viz"))
+
+
+def test_show_geometry(solved):
+    oi, m0, m1, d = solved
+    mrcal.show_geometry(
+        [m0, m1], hardcopy=f"{d}/geom.png",
+        frames_rt_toref=oi["frames_rt_toref"],
+        object_width_n=8, object_height_n=6,
+        object_spacing=oi["calibration_object_spacing"])
+    assert os.path.exists(f"{d}/geom.png")
+
+
+def test_show_projection_diff(solved):
+    oi, m0, m1, d = solved
+    fig, difflen = mrcal.show_projection_diff(
+        (m0, m0), gridn_width=16, hardcopy=f"{d}/diff.png")
+    assert os.path.exists(f"{d}/diff.png")
+
+
+def test_show_projection_uncertainty(solved):
+    oi, m0, m1, d = solved
+    fig, unc = mrcal.show_projection_uncertainty(
+        m0, gridn_width=8, distance=2.0,
+        observed_pixel_uncertainty=0.2, hardcopy=f"{d}/unc.png")
+    assert os.path.exists(f"{d}/unc.png")
+    assert np.all(np.isfinite(np.asarray(unc)))
+
+
+def test_show_uncertainty_vs_distance(solved):
+    oi, m0, m1, d = solved
+    fig, unc = mrcal.show_projection_uncertainty_vs_distance(
+        m0, distance_min=0.5, distance_max=10, Ndistances=6,
+        hardcopy=f"{d}/uncd.png")
+    assert os.path.exists(f"{d}/uncd.png")
+
+
+def test_show_distortion_off_pinhole(solved):
+    oi, m0, m1, d = solved
+    mrcal.show_distortion_off_pinhole(m0, hardcopy=f"{d}/dist.png")
+    mrcal.show_distortion_off_pinhole_radial(m0, hardcopy=f"{d}/distr.png")
+    assert os.path.exists(f"{d}/dist.png")
+
+
+def test_show_residuals_suite(solved):
+    oi, m0, m1, d = solved
+    mrcal.show_residuals_vectorfield(oi, hardcopy=f"{d}/rv.png")
+    mrcal.show_residuals_magnitudes(oi, hardcopy=f"{d}/rm.png")
+    mrcal.show_residuals_directions(oi, hardcopy=f"{d}/rd.png")
+    mrcal.show_residuals_histogram(oi, hardcopy=f"{d}/rh.png")
+    mrcal.show_residuals_board_observation(oi, 0, hardcopy=f"{d}/rb.png")
+    fig, mean = mrcal.show_residuals_regional(oi, gridn_width=8,
+                                              hardcopy=f"{d}/rr.png")
+    for f in ("rv", "rm", "rd", "rh", "rb", "rr"):
+        assert os.path.exists(f"{d}/{f}.png")
+
+
+def test_show_splined_model_correction(tmp_path):
+    name = "LENSMODEL_SPLINED_STEREOGRAPHIC_order=3_Nx=9_Ny=7_fov_x_deg=120"
+    np.random.seed(0)
+    intr = np.concatenate([[420., 419., 399.5, 299.5],
+                           np.random.randn(2 * 9 * 7) * 2e-3])
+    m = mrcal.cameramodel(intrinsics=(name, intr), imagersize=(800, 600))
+    mrcal.show_splined_model_correction(
+        m, hardcopy=str(tmp_path / "spl.png"))
+    assert (tmp_path / "spl.png").exists()
+
+
+def test_show_valid_intrinsics_region(solved, tmp_path):
+    oi, m0, m1, d = solved
+    m = mrcal.cameramodel(m0)
+    m.valid_intrinsics_region(np.array(
+        [[10, 10], [700, 10], [700, 500], [10, 500], [10, 10]], float))
+    mrcal.show_valid_intrinsics_region(
+        m, hardcopy=str(tmp_path / "vir.png"))
+    assert (tmp_path / "vir.png").exists()
+
+
+def test_annotate_image(solved):
+    oi, m0, m1, d = solved
+    m = mrcal.cameramodel(m0)
+    m.valid_intrinsics_region(np.array(
+        [[10, 10], [700, 10], [700, 500], [10, 500], [10, 10]], float))
+    img = np.zeros((600, 800, 3), np.uint8)
+    out = mrcal.annotate_image__valid_intrinsics_region(img, m)
+    assert out.sum() > 0
