@@ -189,6 +189,29 @@ def estimate_monocular_calobject_poses_Rt_tocam(indices_frame_camera,
     board = ref_calibration_object(W, H, object_spacing)       # (H,W,3)
     p_board_flat = board.reshape(-1, 3)
 
+    def solve_one(q, w, lensmodel, intr, focal_scale=1.0):
+        """One PnP solve with the given focal scaling of the intrinsics
+        guess.  Returns (rt, rms of normalized reprojection residual)."""
+        intr_s = np.array(intr, dtype=float)
+        intr_s[:2] *= focal_scale
+        v = np.asarray(unproject(q, lensmodel, intr_s))
+        q_norm = v[:, :2] / v[:, 2:3]
+        good = w > 0
+        if np.sum(good) < 6:
+            raise Exception("too few valid corners")
+        Hm = _homography_dlt(p_board_flat[good][:, :2], q_norm[good])
+        R, t = _pose_from_homography(Hm)
+        if t[2] < 0:      # board behind camera: flip (reference retry logic,
+            R = R @ np.diag([-1, -1, 1])    # calibration.py:560-580)
+            t = -t
+        rt0 = np.concatenate([np.asarray(_r_from_R(jnp.asarray(R))), t])
+        rt = np.asarray(_refine_pnp_gn(rt0, p_board_flat, q_norm, w))
+        p_cam = np.asarray(_transform_point_rt(jnp.asarray(rt),
+                                               jnp.asarray(p_board_flat)))
+        qn = p_cam[:, :2] / p_cam[:, 2:3]
+        rms = float(np.sqrt(np.mean(((qn - q_norm) ** 2)[good])))
+        return rt, rms
+
     Rt_all = np.zeros((Nobs, 4, 3))
     for i in range(Nobs):
         icam = int(indices_frame_camera[i, 1])
@@ -196,19 +219,16 @@ def estimate_monocular_calobject_poses_Rt_tocam(indices_frame_camera,
         obs = observations[i].reshape(-1, 3)
         q = obs[:, :2]
         w = np.maximum(obs[:, 2], 0.0)
-        # unproject through the actual lens model -> normalized coords
-        v = np.asarray(unproject(q, lensmodel, intr))
-        q_norm = v[:, :2] / v[:, 2:3]
-        good = w > 0
-        if np.sum(good) < 6:
-            raise Exception(f"observation {i}: too few valid corners")
-        Hm = _homography_dlt(p_board_flat[good][:, :2], q_norm[good])
-        R, t = _pose_from_homography(Hm)
-        if t[2] < 0:      # board behind camera: flip (reference retry logic)
-            R = R @ np.diag([-1, -1, 1])
-            t = -t
-        rt0 = np.concatenate([np.asarray(_r_from_R(jnp.asarray(R))), t])
-        rt = np.asarray(_refine_pnp_gn(rt0, p_board_flat, q_norm, w))
+        rt, rms = solve_one(q, w, lensmodel, intr)
+        if rms > 0.02:
+            # bad solve: the focal-length guess may be far off.  Retry with
+            # scaled focals, keep the best (reference focal-retry fallback:
+            # calibration.py:508-620, x1.5 board-behind / x0.7 too-wide)
+            for scale in (1.5, 0.7):
+                rt2, rms2 = solve_one(q, w, lensmodel, intr,
+                                      focal_scale=scale)
+                if rms2 < rms:
+                    rt, rms = rt2, rms2
         Rt_all[i] = np.asarray(poseutils.Rt_from_rt(rt))
     return Rt_all
 

@@ -227,7 +227,9 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
 
         # ---------------- board observations ----------------
         if spec.Nobservations_board:
-            idx = arrays["indices_board"]
+            # indices are problem STRUCTURE: bake them as compile-time
+            # constants (static gathers fold much better than dynamic ones)
+            idx = jnp.asarray(idxb_np)
             ifr, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
             blocks = dict(
                 intr=intr_packed[ici],           # (Nobs, Nip)
@@ -309,7 +311,7 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
 
         # ---------------- point observations ----------------
         if spec.Nobservations_point:
-            idx = arrays["indices_point"]
+            idx = jnp.asarray(idxp_np)
             ipt, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
             # variable-point packed positions; fixed points pass real/scale
             blocks = dict(
@@ -930,7 +932,7 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
         frames_packed = params["frames"] / jnp.asarray(_FRAME_SCALES, dt)
         warp_packed = params["calobject_warp"] / jnp.asarray(_WARP_SCALES, dt)
 
-        idx = arrays["indices_board"]
+        idx = jnp.asarray(static_idx["board"])
         obs = arrays["observations_board"]
         Nobs = idx.shape[0]
         ifr, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
