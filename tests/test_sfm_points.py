@@ -110,3 +110,55 @@ def test_sfm_points_noisy():
     assert stats["rms_reproj_error__pixels"] < sigma * 1.2
     assert np.allclose(ext[:, 3:], scene["extrinsics_true"][:, 3:],
                        atol=0.02)
+
+
+def test_surveyed_calibration():
+    """Surveyed calibration (mirrors test-surveyed-calibration.py): points
+    at KNOWN fixed world positions; solve intrinsics + camera pose from
+    their observations."""
+    np.random.seed(4)
+    model = "LENSMODEL_OPENCV4"
+    imagersize = np.array([800, 600])
+    intr_true = np.array([750., 748., 399.5, 299.5, -0.01, 0.02, -0.001,
+                          0.002])
+    rt_true = np.array([0.05, -0.1, 0.02, 0.1, -0.05, 0.2])
+
+    # surveyed target points on a wall
+    pts = np.stack([np.random.uniform(-2, 2, 60),
+                    np.random.uniform(-1.5, 1.5, 60),
+                    np.random.uniform(3.0, 4.0, 60)], axis=-1)
+    obs = []
+    idx = []
+    for ip, p in enumerate(pts):
+        p_cam = np.asarray(mrcal.transform_point_rt(rt_true, p))
+        q = np.asarray(mrcal.project(p_cam, model, intr_true))
+        if 0 <= q[0] <= 799 and 0 <= q[1] <= 599:
+            obs.append([q[0] + np.random.randn() * 0.2,
+                        q[1] + np.random.randn() * 0.2, 1.0])
+            idx.append([ip, 0, 0])
+    obs = np.array(obs)
+    idx = np.array(idx, dtype=np.int32)
+
+    intr = intr_true.copy()
+    intr[:2] *= 1.002
+    intr[2:4] += 2.0
+    intr[4:] = 0
+    rt = rt_true + np.random.randn(6) * 0.01
+    oi = dict(
+        intrinsics=intr[None],
+        extrinsics_rt_fromref=rt[None],
+        points=pts.copy(),
+        observations_point=obs,
+        indices_point_camintrinsics_camextrinsics=idx,
+        lensmodel=model,
+        imagersizes=imagersize[None],
+        Npoints_fixed=len(pts),           # ALL surveyed
+        do_apply_outlier_rejection=False,
+    )
+    stats = mrcal.optimize(**oi)
+    assert stats["rms_reproj_error__pixels"] < 0.25
+    assert np.allclose(oi["intrinsics"][0][:2], intr_true[:2], atol=2.0)
+    assert np.allclose(oi["extrinsics_rt_fromref"][0][3:], rt_true[3:],
+                       atol=0.01)
+    # surveyed points must NOT move
+    assert np.allclose(oi["points"], pts, atol=1e-12)

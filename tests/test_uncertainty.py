@@ -192,3 +192,24 @@ def test_projection_uncertainty_atinfinity(calibrated):
         l = np.linalg.eigvalsh(Var)
         assert np.all(l >= 0), method
         assert np.sqrt(l[-1]) < 2.0, method
+
+
+def test_uncertainty_broadcasting(calibrated):
+    """projection_uncertainty must broadcast over leading dims of p_cam
+    (mirrors test-uncertainty-broadcasting.py)."""
+    scene, oi, model = calibrated
+    p = np.array([[0.1, -0.05, 2.0],
+                  [0.3, 0.1, 3.0],
+                  [-0.2, 0.0, 1.5]])
+    for method in ("mean-pcam", "cross-reprojection-ccp"):
+        Var = np.asarray(mrcal.projection_uncertainty(
+            p, model, method=method, observed_pixel_uncertainty=SIGMA))
+        assert Var.shape == (3, 2, 2), method
+        # matches the per-point computation
+        Var0 = np.asarray(mrcal.projection_uncertainty(
+            p[1], model, method=method, observed_pixel_uncertainty=SIGMA))
+        assert np.allclose(Var[1], Var0, rtol=1e-6), method
+        w = np.asarray(mrcal.projection_uncertainty(
+            p, model, method=method, what="worstdirection-stdev",
+            observed_pixel_uncertainty=SIGMA))
+        assert w.shape == (3,)
