@@ -49,6 +49,7 @@ from .synthetic_data import (   # noqa: F401
     ref_calibration_object,
     synthesize_board_observations,
     make_perfect_observations,
+    make_tracks,
 )
 from .triangulation import (    # noqa: F401
     triangulate_geometric,
@@ -66,6 +67,13 @@ from .utils import (            # noqa: F401
     sample_imager_unproject,
     ingest_packed_state,
     sorted_eig,
+    hypothesis_board_corner_positions,
+    measurements_board, residuals_board,
+    measurements_point, residuals_point,
+    close_contour, polygon_difference,
+    write_point_cloud_as_ply,
+    plotoptions_state_boundaries, plotoptions_measurement_boundaries,
+    mapping_file_framenocameraindex,
 )
 from .calibration import (      # noqa: F401
     compute_chessboard_corners,
@@ -75,14 +83,16 @@ from .calibration import (      # noqa: F401
 )
 from .stereo import (           # noqa: F401
     rectified_resolution, rectified_system, rectification_maps,
-    stereo_range, stereo_unproject,
+    stereo_range, stereo_unproject, match_feature, stereo_matching_ncc,
 )
 from .model_analysis import (   # noqa: F401
     projection_uncertainty,
     projection_diff,
+    stereo_pair_diff,
     implied_Rt10__from_unprojections,
     worst_direction_stdev,
     is_within_valid_intrinsics_region,
+    model_resolution__deg_pixel,
 )
 from .image_transforms import ( # noqa: F401
     pinhole_model_for_reprojection,

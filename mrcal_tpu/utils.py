@@ -295,3 +295,17 @@ def plotoptions_measurement_boundaries(**optimization_inputs):
                     spec.measurement_index_regularization0],
         labels=["boards", "points", "triangulated", "regularization"],
         Nmeasurements=spec.Nmeasurements)
+
+
+def mapping_file_framenocameraindex(*files_per_camera):
+    """Map image filenames to (framenumber, icamera)
+    (reference: utils.py:788): the frame number is the varying numeric
+    field in each camera's filename list."""
+    import re as _re
+    mapping = {}
+    for icam, files in enumerate(files_per_camera):
+        for f in files:
+            m = _re.search(r"[0-9]+", f)
+            frameno = int(m.group(0)) if m else 0
+            mapping[f] = (frameno, icam)
+    return mapping
