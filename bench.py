@@ -41,29 +41,27 @@ def main():
     import jax.numpy as jnp
 
     # production pipeline: the ENTIRE trust-region LM loop device-resident
-    # (lax.while_loop), f32 phase.  Measure sustained iteration throughput
-    # over a full solve from a perturbed start.
+    # (lax.while_loop), f32 phase.  Measure SUSTAINED iteration throughput:
+    # a long solve from a strongly perturbed start (so the ~25 ms one-time
+    # dispatch over the device tunnel amortizes over >100 LM iterations;
+    # a near-converged start makes the measurement dispatch-bound and
+    # understates throughput ~10x).
     rng = np.random.default_rng(1)
-    b_start = jnp.asarray(np.asarray(b0) + rng.normal(0, 1e-3, len(b0)))
+    b_start = jnp.asarray(np.asarray(b0) + rng.normal(0, 1e-2, len(b0)))
 
-    # warmup/compile
+    # warmup/compile (same shapes/dtype as the measured call)
     lm_solve_device(spec, arrays, b_start, max_iterations=2,
                     dtype=jnp.float32)
 
     t0 = time.perf_counter()
     b, E, niter = lm_solve_device(spec, arrays, b_start,
-                                  max_iterations=100, dtype=jnp.float32)
+                                  max_iterations=300,
+                                  update_threshold=0.0,
+                                  dtype=jnp.float32)
     dt = time.perf_counter() - t0
-    if niter < 20:
-        # converged early: re-measure with a tighter threshold to get a
-        # stable iterations/s number
-        t0 = time.perf_counter()
-        b, E, niter = lm_solve_device(spec, arrays, b_start,
-                                      max_iterations=100,
-                                      update_threshold=0.0,
-                                      dtype=jnp.float32)
-        dt = time.perf_counter() - t0
-        niter = max(niter, 1)
+    niter = max(niter, 1)
+    rms = float(np.sqrt(E / max(spec.Nmeasurements, 1)))
+    assert rms < 0.5, f"bench solve did not converge: rms {rms} px"
 
     its_per_s = niter / dt
     baseline_c_its_per_s = 20.0
