@@ -659,33 +659,124 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     return b, E, niter, ne
 
 
-def _mark_outliers(spec: ProblemSpec, obs_board_np, x_board, x_point_tri=None,
-                   verbose=False):
+def _mark_outliers(spec: ProblemSpec, obs_board_np, x_board,
+                   obs_tri_np=None, x_tri=None, px_tri=None, idx_tri=None,
+                   extrinsics=None, verbose=False):
     """Reference markOutliers semantics (mrcal.c:3979-4386): estimate the
-    residual variance from current inliers; if any inlier component exceeds
+    residual variance from current inliers (board AND triangulated
+    measurements pooled, mrcal.c:4259); if any inlier component exceeds
     5 sigma, flip the weight sign of every component above 4 sigma.
-    Mutates obs_board_np; returns (found_new, Noutliers)."""
+
+    Triangulated-point handling (mrcal.c:4131-4260, 4358-4386):
+      - pairs whose leecivera-mid2 triangulation is DIVERGENT under the
+        current extrinsics are outliers unconditionally (both observations
+        of the pair are marked; mrcal.c:4222-4230);
+      - the per-pair scalar ray-divergence residuals participate in the
+        same k0/k1 sigma thresholds as the board residuals.
+
+    Mutates obs_board_np (weight sign = outlier bit, column 2) and
+    obs_tri_np likewise.  Returns (found_new, Noutliers_board,
+    Noutliers_triangulated)."""
     k0, k1 = 4.0, 5.0
-    W = spec.calibration_object_width_n
-    H = spec.calibration_object_height_n
-    w = obs_board_np[..., 2]                    # (Nobs,H,W)
-    r = np.asarray(x_board).reshape(-1, H, W, 2)
-    inlier = w > 0.0
-    Noutliers = int(np.sum(~inlier))
-    n_in = int(np.sum(inlier))
-    if n_in == 0:
-        return False, Noutliers
-    var = float(np.sum(r[inlier] ** 2) / (2 * n_in))
-    bad2 = np.any(r ** 2 > (k1 * k1) * var, axis=-1) & inlier
-    if not np.any(bad2):
-        return False, Noutliers
-    mark = np.any(r ** 2 > (k0 * k0) * var, axis=-1) & inlier
-    obs_board_np[..., 2][mark] *= -1.0
-    Noutliers += int(np.sum(mark))
-    if verbose:
-        print(f"marked {int(np.sum(mark))} new outliers "
-              f"(total {Noutliers})")
-    return True, Noutliers
+    found = False
+    var_sum = 0.0
+    denom = 0
+
+    have_board = obs_board_np is not None and obs_board_np.size
+    if have_board:
+        W = spec.calibration_object_width_n
+        H = spec.calibration_object_height_n
+        w = obs_board_np[..., 2]                    # (Nobs,H,W)
+        r = np.asarray(x_board).reshape(-1, H, W, 2)
+        inlier_b = w > 0.0
+        Nout_b = int(np.sum(~inlier_b))
+        var_sum += float(np.sum(r[inlier_b] ** 2))
+        denom += 2 * int(np.sum(inlier_b))
+    else:
+        Nout_b = 0
+
+    Nout_t = 0
+    have_tri = obs_tri_np is not None and len(obs_tri_np)
+    if have_tri:
+        from .layout import triangulated_pair_indices
+        from ..poseutils import _rotate_point_r
+        from ..triangulation import _leecivera_mid2
+        i0, i1 = (np.asarray(a) for a in
+                  triangulated_pair_indices(spec.triangulated_set_sizes))
+        # divergent triangulations are DEFINITELY outliers (mrcal.c:4171)
+        ext = np.asarray(extrinsics, np.float64).reshape(-1, 6)
+        ext_pad = np.vstack([np.zeros((1, 6)), ext])
+        ice = np.asarray(idx_tri)[:, 2]
+        px = np.asarray(px_tri, np.float64)
+        rt0 = ext_pad[ice[i0] + 1]
+        rt1 = ext_pad[ice[i1] + 1]
+        v0_ref = np.asarray(_rotate_point_r(rt0[:, :3], px[i0],
+                                            inverted=True))
+        t_r0 = -np.asarray(_rotate_point_r(rt0[:, :3], rt0[:, 3:],
+                                           inverted=True))
+        v0_cam1 = np.asarray(_rotate_point_r(rt1[:, :3], v0_ref))
+        t_10 = np.asarray(_rotate_point_r(rt1[:, :3], t_r0)) + rt1[:, 3:]
+        m = np.asarray(_leecivera_mid2(px[i1], v0_cam1, t_10))
+        divergent = np.all(m == 0.0, axis=-1)
+
+        w_t = obs_tri_np[:, 2]
+        pair_inlier = (w_t[i0] > 0) & (w_t[i1] > 0)
+        new_div = divergent & pair_inlier
+        if np.any(new_div):
+            bad_obs = np.zeros(len(w_t), bool)
+            bad_obs[i0[new_div]] = True
+            bad_obs[i1[new_div]] = True
+            flip = bad_obs & (w_t > 0)
+            obs_tri_np[flip, 2] *= -1.0
+            found = True
+            if verbose:
+                print(f"marked {int(np.sum(new_div))} divergent "
+                      "triangulated pairs as outliers")
+        w_t = obs_tri_np[:, 2]
+        pair_inlier = (w_t[i0] > 0) & (w_t[i1] > 0)
+        Nout_t = int(np.sum(~pair_inlier))
+        xt = np.asarray(x_tri).reshape(-1)
+        var_sum += float(np.sum(xt[pair_inlier] ** 2))
+        denom += int(np.sum(pair_inlier))
+
+    if denom == 0:
+        return found, Nout_b, Nout_t
+    var = var_sum / denom
+
+    # any inlier measurement past the k1 trigger? (skipped if divergence
+    # already forces a re-solve, mrcal.c:4268 loop conditions)
+    trigger = found
+    if not trigger and have_board:
+        trigger = bool(np.any((r ** 2 > (k1 * k1) * var)
+                              & inlier_b[..., None]))
+    if not trigger and have_tri:
+        trigger = bool(np.any(pair_inlier & (xt ** 2 > (k1 * k1) * var)))
+    if not trigger:
+        return False, Nout_b, Nout_t
+
+    # cull everything past k0 (margin to make the re-solve the last one)
+    if have_board:
+        mark = np.any(r ** 2 > (k0 * k0) * var, axis=-1) & inlier_b
+        obs_board_np[..., 2][mark] *= -1.0
+        Nout_b += int(np.sum(mark))
+        if verbose and np.any(mark):
+            print(f"marked {int(np.sum(mark))} new board outliers "
+                  f"(total {Nout_b})")
+    if have_tri:
+        bad_pair = pair_inlier & (xt ** 2 > (k0 * k0) * var)
+        if np.any(bad_pair):
+            w_t = obs_tri_np[:, 2]
+            bad_obs = np.zeros(len(w_t), bool)
+            bad_obs[i0[bad_pair]] = True
+            bad_obs[i1[bad_pair]] = True
+            flip = bad_obs & (w_t > 0)
+            obs_tri_np[flip, 2] *= -1.0
+            if verbose:
+                print(f"marked {int(np.sum(bad_pair))} new triangulated "
+                      "pair outliers")
+        w_t = obs_tri_np[:, 2]
+        Nout_t = int(np.sum(~((w_t[i0] > 0) & (w_t[i1] > 0))))
+    return True, Nout_b, Nout_t
 
 
 def optimize(**kw):
@@ -701,6 +792,10 @@ def optimize(**kw):
     # mutable numpy views of the caller's arrays
     np_obs_board = np.asarray(kw["observations_board"]) \
         if kw.get("observations_board") is not None else None
+    np_obs_tri = np.asarray(kw["observations_point_triangulated"]) \
+        if kw.get("observations_point_triangulated") is not None else None
+    if np_obs_tri is not None and not len(np_obs_tri):
+        np_obs_tri = None
 
     arrays = arrays_from_inputs(**kw)
     params = params_from_arrays(arrays)
@@ -710,6 +805,7 @@ def optimize(**kw):
 
     total_niter = 0
     Noutliers = 0
+    Noutliers_tri = 0
     while True:
         if mixed_precision:
             # fast f32 phase to (approximate) convergence, f64 polish after
@@ -723,14 +819,27 @@ def optimize(**kw):
             b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose)
         total_niter += niter
         if not (spec.selections.do_apply_outlier_rejection
-                and spec.Nobservations_board):
+                and (spec.Nobservations_board or np_obs_tri is not None)):
             break
-        found, Noutliers = _mark_outliers(
-            spec, np_obs_board, ne["x_board"], verbose=verbose)
+        ext_now = np.asarray(
+            split_packed_state(b, arrays, spec)["extrinsics"]) \
+            if np_obs_tri is not None else None
+        found, Noutliers, Noutliers_tri = _mark_outliers(
+            spec, np_obs_board, ne["x_board"],
+            obs_tri_np=np_obs_tri, x_tri=ne["x_tri"],
+            px_tri=arrays.get("px_triangulated"),
+            idx_tri=(np.asarray(arrays["indices_triangulated"])
+                     if np_obs_tri is not None else None),
+            extrinsics=ext_now, verbose=verbose)
         if not found:
             break
-        arrays["observations_board"] = jnp.asarray(
-            np_obs_board, dtype=arrays["observations_board"].dtype)
+        if np_obs_board is not None:
+            arrays["observations_board"] = jnp.asarray(
+                np_obs_board, dtype=arrays["observations_board"].dtype)
+        if np_obs_tri is not None:
+            arrays["observations_point_triangulated"] = jnp.asarray(
+                np_obs_tri,
+                dtype=arrays["observations_point_triangulated"].dtype)
 
     # write back the solution
     params = split_packed_state(b, arrays, spec)
@@ -757,6 +866,7 @@ def optimize(**kw):
             np.sqrt(E / max(spec.Nmeasurements, 1))),
         Noutliers=Noutliers,
         Noutliers_board=Noutliers,
+        Noutliers_triangulated_point=Noutliers_tri,
         niterations=total_niter,
         b_packed=np.asarray(b),
         x=x,

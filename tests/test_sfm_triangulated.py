@@ -85,6 +85,59 @@ def test_triangulated_residuals_zero_at_truth():
     assert np.max(np.abs(x)) < 1e-7
 
 
+def test_triangulated_outlier_rejection():
+    """Corrupted observations get their weights flipped negative by the
+    outlier loop (mrcal.c markOutliers triangulated branches: divergent
+    pairs + >4/5 sigma culling) and the solve still recovers geometry."""
+    scene = make_scene(Ncameras=4, Npoints=60, sigma_px=0.2, seed=3)
+    obs = scene["observations"]
+    # corrupt 3 observations of 3 different points grossly
+    ipt = scene["indices"][:, 0]
+    corrupted = []
+    for p in (5, 17, 33):
+        i = int(np.nonzero(ipt == p)[0][0])
+        obs[i, :2] += (120.0, -90.0)
+        corrupted.append(i)
+
+    np.random.seed(4)
+    rt_noisy = scene["rt_true"][1:].copy()
+    rt_noisy[:, :3] += np.random.randn(*rt_noisy[:, :3].shape) * 0.005
+    rt_noisy[:, 3:] += np.random.randn(*rt_noisy[:, 3:].shape) * 0.02
+
+    oi = dict(
+        intrinsics=scene["intrinsics"],
+        rt_cam_ref=rt_noisy,
+        observations_point_triangulated=obs,
+        indices_point_triangulated_camintrinsics_camextrinsics=scene["indices"],
+        lensmodel=scene["lensmodel"],
+        imagersizes=scene["imagersizes"],
+        do_optimize_intrinsics_core=False,
+        do_optimize_intrinsics_distortions=False,
+        do_optimize_extrinsics=True,
+        do_optimize_frames=True,
+        do_apply_outlier_rejection=True,
+        do_apply_regularization=True,
+        do_apply_regularization_unity_cam01=True,
+    )
+    stats = mrcal.optimize(**oi)
+
+    assert stats["Noutliers_triangulated_point"] > 0
+    # the corrupted observations must be among those marked (weight < 0)
+    assert all(obs[i, 2] < 0 for i in corrupted), obs[corrupted, 2]
+    # and not too many innocents culled alongside
+    assert np.sum(obs[:, 2] < 0) < len(obs) * 0.25
+
+    rt = np.asarray(oi["rt_cam_ref"])
+    scale = np.linalg.norm(scene["rt_true"][-1, 3:]) / \
+        np.linalg.norm(rt[-1, 3:])
+    rt_scaled = rt.copy()
+    rt_scaled[:, 3:] *= scale
+    rt_err = np.asarray(mrcal.compose_rt(
+        rt_scaled, scene["rt_true"][1:], inverted1=True))
+    assert np.max(np.linalg.norm(rt_err[:, :3], axis=-1)) * 180 / np.pi < 2.0
+    assert np.max(np.linalg.norm(rt_err[:, 3:], axis=-1)) < 0.1
+
+
 def test_sfm_triangulated_solve():
     scene = make_scene(Ncameras=4, Npoints=60, sigma_px=0.3, seed=1)
     np.random.seed(2)
