@@ -162,7 +162,9 @@ def _refine_pnp_gn(rt0, p_board, q_norm, weights, iterations=20):
         r = resid(rt)
         J = jax.jacfwd(resid)(rt)
         JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=rt.dtype)
-        rt = rt - jnp.linalg.solve(JtJ, J.T @ r)
+        # SPD solve via Cholesky: TPU XLA has no f64 LuDecomposition
+        L = jnp.linalg.cholesky(JtJ)
+        rt = rt - jax.scipy.linalg.cho_solve((L, True), J.T @ r)
         return rt, None
 
     rt, _ = jax.lax.scan(body, rt0, None, length=iterations)

@@ -504,7 +504,12 @@ def unproject_core(q, intrinsics, lensmodel, iterations=25):
             J = jax.jacfwd(
                 lambda uu: project_core(stereographic_v_from_uv(uu), intr1, lm))(u)
             JtJ = J.T @ J + jnp.eye(2, dtype=u.dtype) * 1e-12
-            du = jnp.linalg.solve(JtJ, J.T @ r)
+            # closed-form 2x2 solve: TPU XLA has no f64 LuDecomposition
+            # (and Cramer beats a general solve at this size anyway)
+            g = J.T @ r
+            det = JtJ[0, 0] * JtJ[1, 1] - JtJ[0, 1] * JtJ[1, 0]
+            du = jnp.stack([JtJ[1, 1] * g[0] - JtJ[0, 1] * g[1],
+                            JtJ[0, 0] * g[1] - JtJ[1, 0] * g[0]]) / det
             return u - du, None
         u0_1 = jnp.stack([(q1[0] - intr1[2]) / intr1[0],
                           (q1[1] - intr1[3]) / intr1[1]])

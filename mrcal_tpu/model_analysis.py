@@ -137,10 +137,11 @@ def projection_uncertainty(p_cam, model, *,
         return _projection_uncertainty_ccp(
             p_cam, model, atinfinity=atinfinity, what=what,
             observed_pixel_uncertainty=observed_pixel_uncertainty)
-    if method not in ("mean-pcam",):
+    if method not in ("mean-pcam", "cross-reprojection-rrp-Jfp"):
         raise NotImplementedError(
             f"projection_uncertainty method='{method}' "
-            "(have: mean-pcam, cross-reprojection-ccp)")
+            "(have: mean-pcam, cross-reprojection-ccp, "
+            "cross-reprojection-rrp-Jfp)")
 
     from .optimize.layout import spec_from_inputs, normalize_inputs
     from .optimize.residuals import pack_params  # noqa: F401
@@ -168,6 +169,17 @@ def projection_uncertainty(p_cam, model, *,
         if kw.get("frames_rt_toref") is not None else jnp.zeros((0, 6), dt)
 
     scales = spec.scales()
+
+    # For cross-reprojection-rrp-Jfp: the state perturbation implies a rigid
+    # motion of the REFERENCE frame, rt_ref_ref* = Kpacked_rrp db
+    # (uncertainty.c rrp flavor, icam_intrinsics<0); the query point rides
+    # that motion: pref* = T^-1(rt_ref_ref*) pref
+    # (reference: model_analysis.py:873-936 _dq_db__Kunpacked_rrp).
+    Kp_rrp = None
+    if method == "cross-reprojection-rrp-Jfp":
+        from .optimize.residuals import drt_cross_reprojection__dbpacked
+        Kp_rrp = jnp.asarray(
+            drt_cross_reprojection__dbpacked(icam_intrinsics=-1, **kw))
 
     # F(b) = project( T_cam_ref(b) . mean_f( T_ref_frame_f(b) .
     #                 T_frame_ref0 . T_ref0_cam0 . p_cam ), intrinsics(b) )
@@ -200,7 +212,11 @@ def projection_uncertainty(p_cam, model, *,
             rt_cam_ref_p = jnp.zeros(6, dt)
         # reference point in the unperturbed ref frame
         p_ref0 = _tx(rt_cam_ref0, p_cam, inverted=True)
-        if spec.Nframes:
+        if Kp_rrp is not None:
+            rt_rr = Kp_rrp @ b_packed_delta        # rt_ref_ref*
+            p_ref_p = _tx(jnp.broadcast_to(rt_rr, p_ref0.shape[:-1] + (6,)),
+                          p_ref0, inverted=True)
+        elif spec.Nframes:
             # carry through each (unperturbed -> perturbed) frame, average
             rt_f0 = jnp.asarray(np.asarray(kw["frames_rt_toref"]), dt)
             p_frames = _tx(

@@ -396,20 +396,28 @@ def optimizer_callback(no_jacobian=False, no_factorization=True, **kw):
 # cross-reprojection machinery (reference: uncertainty.c N9)
 # ----------------------------------------------------------------------------
 
-def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec, rt_cam_star_ref):
-    """Observation residuals with a rigid reference perturbation inserted:
-    rt_ref_ref* is the conjugate of rt_cam*_cam* (=rt_cc, expressed in the
-    query camera's frame) between every camera and frame transform
-    (reference: uncertainty.c:22-130; the 'ccp' flavor).
+def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec,
+                    rt_cam_star_ref=None):
+    """Observation residuals with a rigid reference perturbation inserted
+    between every camera and frame transform (reference:
+    uncertainty.c:22-130).
+
+    Two flavors (mrcal.h:611-644):
+      - 'ccp' (rt_cam_star_ref given): rt_ref_ref* is the conjugate of
+        rt_cam*_cam* (=rt_cc, expressed in the query camera's frame);
+      - 'rrp' (rt_cam_star_ref=None): rt_cc IS rt_ref_ref* directly.
 
     Returns the boards+points measurement rows only (the rows Jcross is
     built from)."""
     from ..poseutils import _invert_rt
     params = split_packed_state(b, arrays, spec)
-    # rt_ref_ref* = rt_ref_cam* . rt_cam*_cam*' . rt_cam*_ref
-    rt_ref_refp = _compose_rt2(
-        _invert_rt(rt_cam_star_ref),
-        _compose_rt2(rt_cc, rt_cam_star_ref))
+    if rt_cam_star_ref is None:
+        rt_ref_refp = rt_cc
+    else:
+        # rt_ref_ref* = rt_ref_cam* . rt_cam*_cam*' . rt_cam*_ref
+        rt_ref_refp = _compose_rt2(
+            _invert_rt(rt_cam_star_ref),
+            _compose_rt2(rt_cc, rt_cam_star_ref))
 
     parts = []
     if spec.Nobservations_board:
@@ -444,9 +452,12 @@ def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec, rt_cam_star_ref):
 
 def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
     """Kpacked (6, Nstate): the linear map from packed state perturbations
-    to the implied rigid transform rt_cam*_cam* of the query camera's frame
-    (reference: uncertainty.c:798 _mrcal_drt_cross_reprojection__dbpacked;
-    flavor 'ccp').
+    to the implied rigid transform of the query camera's frame
+    (reference: uncertainty.c:798 _mrcal_drt_cross_reprojection__dbpacked).
+
+    Flavors (mrcal.h:636-644): icam_intrinsics >= 0 reports
+    drt_cam*_cam*/dbpacked for THAT camera ('ccp'); icam_intrinsics < 0
+    reports drt_ref_ref*/dbpacked ('rrp').
 
       Kpacked = -inv(Jcross_t Jcross) Jcross_t J_packed[frames,points,cw]
     """
@@ -459,12 +470,15 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
     params = params_from_arrays(arrays)
     b = pack_params(params, spec)
 
-    try:
-        icam_e = corresponding_icam_extrinsics(icam_intrinsics, **kw)
-    except Exception:
-        icam_e = -1
-    rt_csr = (params["extrinsics"][icam_e] if icam_e >= 0
-              else jnp.zeros(6, b.dtype))
+    if icam_intrinsics is None or icam_intrinsics < 0:
+        rt_csr = None                               # 'rrp' flavor
+    else:
+        try:
+            icam_e = corresponding_icam_extrinsics(icam_intrinsics, **kw)
+        except Exception:
+            icam_e = -1
+        rt_csr = (params["extrinsics"][icam_e] if icam_e >= 0
+                  else jnp.zeros(6, b.dtype))
 
     Jcross = jax.jacfwd(
         lambda rt: residuals_cross(rt, b, arrays, spec, rt_csr))(
@@ -479,4 +493,6 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
 
     JcT_Jc = Jcross.T @ Jcross
     JcT_J = Jcross.T @ J_fpcw
-    return np.asarray(-jnp.linalg.solve(JcT_Jc, JcT_J))
+    # SPD solve via Cholesky: TPU XLA has no f64 LuDecomposition
+    L = jnp.linalg.cholesky(JcT_Jc)
+    return np.asarray(-jax.scipy.linalg.cho_solve((L, True), JcT_J))

@@ -227,6 +227,7 @@ def rectification_maps(models, models_rectified):
 
 def stereo_range(disparity, models_rectified, *,
                  disparity_scale=1, disparity_min=None, disparity_scaled_min=None,
+                 disparity_max=None, disparity_scaled_max=None,
                  qrect0=None):
     """Convert disparity (pixels, possibly scaled) to ranges (reference:
     stereo.py:978 / stereo.c:1263-1417).
@@ -255,6 +256,10 @@ def stereo_range(disparity, models_rectified, *,
         valid = valid & (d >= disparity_min)
     if disparity_scaled_min is not None:
         valid = valid & (disparity >= disparity_scaled_min)
+    if disparity_max is not None:
+        valid = valid & (d <= disparity_max)
+    if disparity_scaled_max is not None:
+        valid = valid & (disparity <= disparity_scaled_max)
 
     if lm == 'LENSMODEL_LATLON':
         az0 = (qx - cx) / fx

@@ -97,6 +97,7 @@ def show_projection_diff(models, *, gridn_width=60, gridn_height=None,
 
 def show_projection_uncertainty(model, *, gridn_width=30, gridn_height=None,
                                 distance=None, isotropic=False,
+                                method="mean-pcam",
                                 cbmax=3, title=None, hardcopy=None,
                                 observed_pixel_uncertainty=None, **kwargs):
     """Heatmap of projection uncertainty over the imager
@@ -109,7 +110,7 @@ def show_projection_uncertainty(model, *, gridn_width=30, gridn_height=None,
     p_cam = np.asarray(v) * d
     what = "rms-stdev" if isotropic else "worstdirection-stdev"
     unc = projection_uncertainty(
-        p_cam.reshape(-1, 3), model, method="mean-pcam", what=what,
+        p_cam.reshape(-1, 3), model, method=method, what=what,
         observed_pixel_uncertainty=observed_pixel_uncertainty)
     unc = np.asarray(unc).reshape(np.asarray(q).shape[:-1])
     fig, ax = _new_axes(title or f"Projection uncertainty (pixels), "
@@ -124,7 +125,8 @@ def show_projection_uncertainty(model, *, gridn_width=30, gridn_height=None,
 
 def show_projection_uncertainty_vs_distance(
         model, *, where="centroid", distance_min=0.2, distance_max=100.0,
-        Ndistances=40, title=None, hardcopy=None, **kwargs):
+        Ndistances=40, method="mean-pcam", title=None, hardcopy=None,
+        **kwargs):
     """Uncertainty as a function of range along one observation ray
     (reference: visualization.py:1959)."""
     from .model_analysis import projection_uncertainty
@@ -136,7 +138,7 @@ def show_projection_uncertainty_vs_distance(
     v = np.asarray(unproject(q, *model.intrinsics(), normalize=True))
     distances = np.geomspace(distance_min, distance_max, Ndistances)
     p = v[None, :] * distances[:, None]
-    unc = projection_uncertainty(p, model, method="mean-pcam",
+    unc = projection_uncertainty(p, model, method=method,
                                  what="worstdirection-stdev")
     fig, ax = _new_axes(title or "Uncertainty vs distance")
     ax.semilogx(distances, np.asarray(unc))

@@ -182,6 +182,37 @@ def test_projection_uncertainty_ccp(calibrated):
         (l_pred, l_emp)
 
 
+def test_projection_uncertainty_rrp_jfp(calibrated):
+    """cross-reprojection-rrp-Jfp (experimental in the reference,
+    model_analysis.py:1170) must closely agree with the ccp flavor for a
+    stationary single-camera scene: both propagate the same implied rigid
+    reference motion, expressed in different frames."""
+    scene, oi, model = calibrated
+    p_cam = np.array([0.15, -0.1, 2.5])
+    Var_rrp = np.asarray(mrcal.projection_uncertainty(
+        p_cam, model, method="cross-reprojection-rrp-Jfp",
+        observed_pixel_uncertainty=SIGMA))
+    Var_ccp = np.asarray(mrcal.projection_uncertainty(
+        p_cam, model, method="cross-reprojection-ccp",
+        observed_pixel_uncertainty=SIGMA))
+    assert Var_rrp.shape == (2, 2)
+    l_rrp = np.linalg.eigvalsh(Var_rrp)
+    l_ccp = np.linalg.eigvalsh(Var_ccp)
+    assert np.all(l_rrp > 0)
+    # camera-0-at-reference, stationary camera: ccp and rrp coincide up to
+    # numerical conditioning of the cross solves
+    for a, c in zip(l_rrp, l_ccp):
+        assert 0.7 < a / c < 1.4, (l_rrp, l_ccp)
+
+    # at infinity too
+    v = p_cam / np.linalg.norm(p_cam)
+    Vi_rrp = np.asarray(mrcal.projection_uncertainty(
+        v, model, method="cross-reprojection-rrp-Jfp", atinfinity=True,
+        observed_pixel_uncertainty=SIGMA))
+    li = np.linalg.eigvalsh(Vi_rrp)
+    assert np.all(li >= 0) and np.sqrt(li[-1]) < 1.0
+
+
 def test_projection_uncertainty_atinfinity(calibrated):
     scene, oi, model = calibrated
     v = np.array([0.05, -0.02, 1.0])
