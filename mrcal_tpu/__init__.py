@@ -75,6 +75,9 @@ from .utils import (            # noqa: F401
     plotoptions_state_boundaries, plotoptions_measurement_boundaries,
     mapping_file_framenocameraindex,
 )
+from .detector import (         # noqa: F401
+    chess_response, find_chessboard_corners, detect_corners_in_images,
+)
 from .calibration import (      # noqa: F401
     compute_chessboard_corners,
     estimate_monocular_calobject_poses_Rt_tocam,

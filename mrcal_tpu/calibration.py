@@ -34,13 +34,32 @@ def compute_chessboard_corners(W, H, *,
     into mrcal observation arrays.
 
     Returns (observations (Nobs,H,W,3), indices_frame_camera (Nobs,2),
-    paths).  Detection via mrgingham subprocess is not run here — a corners
-    cache file must be supplied (reference behavior when the cache exists:
-    calibration.py:24-220)."""
+    paths).  When no corners cache is supplied, the native ChESS-based
+    detector runs on the glob-matched image files (the reference's
+    equivalent path shells out to mrgingham: calibration.py:24-220; ours is
+    mrcal_tpu.detector)."""
     if corners_cache_vnl is None:
-        raise NotImplementedError(
-            "corner detection requires a corners_cache_vnl file; running the "
-            "mrgingham detector is not supported in mrcal_tpu")
+        import glob as _glob
+        from .detector import detect_corners_in_images
+        image_paths = sorted(set(
+            p for g in globs_per_camera for p in _glob.glob(g)))
+        if not image_paths:
+            raise FileNotFoundError(
+                f"no images matched globs {globs_per_camera} and no "
+                "corners_cache_vnl was given")
+        detections = detect_corners_in_images(image_paths, W, H)
+        import io
+        buf = io.StringIO()
+        buf.write("# filename x y level\n")
+        for fname in image_paths:
+            det = detections[fname]
+            if det is None:
+                buf.write(f"{fname} - - -\n")
+                continue
+            for x, y, lvl in det:
+                buf.write(f"{fname} {x:.5f} {y:.5f} {int(lvl)}\n")
+        buf.seek(0)
+        corners_cache_vnl = buf
 
     if weight_column_kind not in ("level", "weight", None):
         raise ValueError("weight_column_kind must be level/weight/None")
@@ -55,7 +74,7 @@ def compute_chessboard_corners(W, H, *,
             continue
         fields = line.split()
         fname = fields[0]
-        if fname == "-" or len(fields) < 3:
+        if fname == "-" or len(fields) < 3 or fields[1] == "-":
             rows.setdefault(fname, [])
             continue
         x, y = float(fields[1]), float(fields[2])
