@@ -18,6 +18,21 @@ import jax
 if not os.environ.get("MRCAL_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the full device-resident LM while_loop graph
+# takes minutes to compile through the remote TPU compile helper; caching the
+# executable makes every later process start (tests, bench, tools) fast.
+if not os.environ.get("MRCAL_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "MRCAL_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort; never block import
+
 
 def default_dtype():
     import jax.numpy as jnp
