@@ -104,9 +104,13 @@ from .image_transforms import ( # noqa: F401
     scale_focal__best_pinhole_fit,
 )
 from .image import load_image, save_image, apply_color_map  # noqa: F401
+from .cahvor import read_transforms  # noqa: F401
 from .visualization import (  # noqa: F401
     show_geometry,
     show_projection_diff,
+    show_stereo_pair_diff,
+    fitted_gaussian_equation,
+    imagergrid_using,
     show_projection_uncertainty,
     show_projection_uncertainty_vs_distance,
     show_distortion_off_pinhole,

@@ -141,3 +141,54 @@ def write(f, model, note=None):
             from .lensmodels import parse_lensmodel
             lm = parse_lensmodel(lensmodel)
             f.write(f"T = {lm.linearity:.12g}\n")
+
+
+def read_transforms(f):
+    """Parse a JPL-toolkit transforms.txt into a dict (reference:
+    mrcal/cahvor.py:419).  Lines:
+        ins2veh      = (x y z) (qw qx qy qz)
+        cam2ins[<i>] = (x y z) (qw qx qy qz)
+    Returns {'veh_from_ins': Rt, 'ins_from_camera': {i: Rt}}."""
+    needclose = False
+    if isinstance(f, str):
+        f = open(f, "r")
+        needclose = True
+    try:
+        out = dict(veh_from_ins=None, ins_from_camera={})
+        re_f = r'[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?'
+        re_pos = r'\(\s*({f})\s+({f})\s+({f})\s*\)'.format(f=re_f)
+        re_quat = r'\(\s*({f})\s+({f})\s+({f})\s+({f})\s*\)'.format(f=re_f)
+
+        def qt(m, ofs):
+            g = [float(m.group(i + ofs)) for i in range(7)]
+            # file order: x y z qw qx qy qz -> our qt = (qw qx qy qz, xyz)
+            return np.asarray(poseutils.Rt_from_qt(
+                np.array(g[3:7] + g[0:3])))
+
+        for line in f:
+            if re.match(r'^\s*#|^\s*$', line):
+                continue
+            m = re.match(r'\s*ins2veh\s*=\s*{p}\s*{q}\s*$'.format(
+                p=re_pos, q=re_quat), line.rstrip())
+            if m:
+                if out['veh_from_ins'] is not None:
+                    raise Exception("corrupt transforms: duplicate ins2veh")
+                out['veh_from_ins'] = qt(m, 1)
+                continue
+            m = re.match(r'\s*cam2ins\s*\[(\d+)\]\s*=\s*{p}\s*{q}\s*$'.format(
+                p=re_pos, q=re_quat), line.rstrip())
+            if m:
+                i = int(m.group(1))
+                if i in out['ins_from_camera']:
+                    raise Exception(
+                        f"corrupt transforms: duplicate cam2ins[{i}]")
+                out['ins_from_camera'][i] = qt(m, 2)
+                continue
+            raise Exception("transforms.txt: only 'ins2veh' and 'cam2ins' "
+                            f"lines are understood; got {line!r}")
+        if out['veh_from_ins'] is None:
+            raise Exception("transforms file incomplete: no ins2veh")
+        return out
+    finally:
+        if needclose:
+            f.close()

@@ -400,3 +400,59 @@ def _draw_line(img, p0, p1, color):
         img[ys[ok], xs[ok]] = color
     else:
         img[ys[ok], xs[ok]] = color[0]
+
+
+def show_stereo_pair_diff(model_pairs, *, gridn_width=60, gridn_height=None,
+                          distance=None, cbmax=4, title=None,
+                          hardcopy=None, **kwargs):
+    """Heatmap of the cam0->cam1 reprojection mismatch between two
+    calibrations of the same stereo rig (reference: visualization.py:1431;
+    analysis: model_analysis.stereo_pair_diff)."""
+    from .model_analysis import stereo_pair_diff
+    difflen, diff, q0 = stereo_pair_diff(
+        model_pairs, gridn_width=gridn_width, gridn_height=gridn_height,
+        distance=distance)
+    difflen = np.asarray(difflen)
+    q0 = np.asarray(q0)
+    fig, ax = _new_axes(title or "Stereo-pair diff (pixels)")
+    im = ax.imshow(difflen, origin="upper", vmin=0, vmax=cbmax,
+                   extent=(q0[..., 0].min(), q0[..., 0].max(),
+                           q0[..., 1].max(), q0[..., 1].min()))
+    fig.colorbar(im, ax=ax)
+    return _finish(fig, hardcopy), difflen
+
+
+def fitted_gaussian_equation(*, binwidth, x=None, mean=None, sigma=None,
+                             N=None, legend=None):
+    """Gnuplot-style 'equation' string for a gaussian PDF scaled to overlay
+    a histogram of bin width `binwidth` (reference: visualization.py:834).
+
+    The PDF is scaled by k = N sqrt(2 pi) sigma erf(binwidth/(2 sqrt(2)
+    sigma)) so its peak lines up with the expected central-bin count.
+    Pass the raw samples `x`, OR the statistics (mean, sigma, N)."""
+    from scipy.special import erf
+    if x is not None:
+        if mean is not None or sigma is not None or N is not None:
+            raise Exception("pass either x or (mean, sigma, N), not both")
+        x = np.asarray(x)
+        sigma = float(np.std(x))
+        mean = float(np.mean(x))
+        N = len(x)
+    elif mean is None or sigma is None or N is None:
+        raise Exception("without x, all of (mean, sigma, N) are required")
+    var = sigma * sigma
+    k = N * np.sqrt(2. * np.pi) * sigma * \
+        erf(binwidth / (2. * np.sqrt(2.) * sigma))
+    title = 'notitle' if legend is None else f'title "{legend}"'
+    return (f'{k}*exp(-(x-{mean})*(x-{mean})/(2.*{var})) / '
+            f'sqrt(2.*pi*{var}) {title} with lines lw 2')
+
+
+def imagergrid_using(imagersize, gridn_width, gridn_height=None):
+    """Gnuplot 'using' expression mapping grid indices to pixel coordinates
+    for imager colormap plots (reference: visualization.py:3160)."""
+    W, H = imagersize
+    if gridn_height is None:
+        gridn_height = int(round(H / W * gridn_width))
+    return '($1*{}):($2*{}):3'.format(float(W - 1) / (gridn_width - 1),
+                                      float(H - 1) / (gridn_height - 1))

@@ -104,3 +104,19 @@ def test_cholmod_factorization_equivalent():
         f.solve_xt_JtJ_bt(bt, mode="L")), mode="Lt"))
     assert np.allclose(x1, xt, atol=1e-9)
     assert 0 < f.rcond() <= 1
+
+
+def test_read_transforms():
+    # JPL-toolkit transforms.txt (reference: mrcal/cahvor.py:419)
+    import io
+    import mrcal_tpu
+    txt = ("# comment\n"
+           "ins2veh = (1 2 3) (1 0 0 0)\n"
+           "cam2ins[0] = (0.5 0 0) "
+           "(0.7071067811865476 0 0.7071067811865476 0)\n")
+    t = mrcal_tpu.read_transforms(io.StringIO(txt))
+    assert np.allclose(t['veh_from_ins'][:3], np.eye(3))
+    assert np.allclose(t['veh_from_ins'][3], [1, 2, 3])
+    R = t['ins_from_camera'][0][:3]
+    # 90 deg rotation about +y: maps +z to +x
+    assert np.allclose(R @ np.array([0., 0., 1.]), [1., 0., 0.], atol=1e-12)

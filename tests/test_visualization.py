@@ -110,3 +110,20 @@ def test_annotate_image(solved):
     img = np.zeros((600, 800, 3), np.uint8)
     out = mrcal.annotate_image__valid_intrinsics_region(img, m)
     assert out.sum() > 0
+
+
+def test_show_stereo_pair_diff(solved):
+    oi, m0, m1, d = solved
+    fig, difflen = mrcal.show_stereo_pair_diff(
+        ((m0, m1), (m0, m1)), gridn_width=12,
+        hardcopy=f"{d}/spdiff.png")
+    assert os.path.exists(f"{d}/spdiff.png")
+    assert np.max(np.asarray(difflen)) < 1e-6  # identical pairs -> no diff
+
+
+def test_gnuplot_helpers():
+    eq = mrcal.fitted_gaussian_equation(binwidth=0.1, mean=1.0, sigma=2.0,
+                                        N=50, legend="resid")
+    assert 'title "resid"' in eq and 'exp(' in eq
+    using = mrcal.imagergrid_using((100, 50), 11)
+    assert using == '($1*9.9):($2*9.8):3'
