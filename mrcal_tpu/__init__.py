@@ -61,6 +61,7 @@ from .triangulation import (    # noqa: F401
     triangulate,
 )
 from .utils import (            # noqa: F401
+    apply_homography,
     align_procrustes_points_Rt01,
     align_procrustes_vectors_R01,
     sample_imager,

@@ -309,3 +309,14 @@ def mapping_file_framenocameraindex(*files_per_camera):
             frameno = int(m.group(0)) if m else 0
             mapping[f] = (frameno, icam)
     return mapping
+
+
+def apply_homography(H, v):
+    """Apply a 3x3 homogeneous-coordinate homography to 2D points
+    (reference: mrcal-genpywrap.py:721-760).  Broadcasts fully over both
+    arguments: H (..., 3, 3), v (..., 2) -> (..., 2)."""
+    import jax.numpy as jnp
+    H = jnp.asarray(H)
+    v = jnp.asarray(v)
+    xyz = jnp.einsum("...ij,...j->...i", H[..., :, :2], v) + H[..., :, 2]
+    return xyz[..., :2] / xyz[..., 2:3]

@@ -28,3 +28,20 @@ def test_batched_cholesky_solve_dispatch():
     rhs = np.random.randn(B, n, K)
     x = np.asarray(batched_cholesky_solve(A, rhs, use_pallas=False))
     assert np.allclose(x, np.linalg.solve(A, rhs), atol=1e-9)
+
+
+def test_apply_homography():
+    # reference: mrcal-genpywrap.py:721 apply_homography
+    import mrcal_tpu
+    H = np.array([[2., 0, 1], [0, 3, 2], [0, 0, 1]])
+    q = np.array([[1., 1], [0, 0]])
+    assert np.allclose(np.asarray(mrcal_tpu.apply_homography(H, q)),
+                       [[3, 5], [1, 2]])
+    Hp = np.array([[1., 0, 0], [0, 1, 0], [0.1, 0, 1]])
+    assert np.allclose(np.asarray(mrcal_tpu.apply_homography(Hp,
+                                                             np.array([1., 2]))),
+                       [1 / 1.1, 2 / 1.1])
+    # broadcasting over stacked homographies
+    out = np.asarray(mrcal_tpu.apply_homography(np.stack([H, Hp]),
+                                                np.array([1., 2])))
+    assert out.shape == (2, 2)
