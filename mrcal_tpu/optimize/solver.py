@@ -599,9 +599,27 @@ def _cast_arrays(arrays, dtype):
     return {k: cast(v) for k, v in arrays.items()}
 
 
+def _effective_threshold(update_threshold, dtype, quiet=False):
+    """f32 cannot resolve packed-state updates below ~1e-5 (unit-scale state,
+    ~1e-7 eps, damped steps): honoring the reference's 1e-7 threshold would
+    spin until max_iterations.  Clamp, and tell the caller unless this is
+    the mixed-precision pipeline's internal f32 phase (whose f64 polish
+    restores the full 1e-7 convergence; quiet=True there)."""
+    if dtype == jnp.float32 and update_threshold < 1e-5:
+        if not quiet:
+            import warnings
+            warnings.warn(
+                f"f32 solve: raising update_threshold {update_threshold:g}"
+                " -> 1e-5 (f32 cannot resolve smaller packed-state steps)."
+                " Use mixed_precision=True (f32 phase + f64 polish) for"
+                " full-precision convergence.", stacklevel=3)
+        return 1e-5
+    return update_threshold
+
+
 def lm_solve(spec: ProblemSpec, arrays, b0,
              max_iterations=300, update_threshold=1e-7, verbose=False,
-             dtype=None):
+             dtype=None, quiet=False):
     """Levenberg-Marquardt to convergence.  Host loop over jitted device
     steps.  Returns (b, E, niter, ne_last).
 
@@ -617,6 +635,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     step_fn = jax.jit(partial(schur_step, spec=spec))
 
     b = jnp.asarray(b0)
+    eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
     lam = 1e-4
@@ -639,8 +658,6 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         if verbose:
             print(f"iter {it}: E={E:.6e} Enew={E_new:.6e} lam={lam:.2e} "
                   f"rho={rho:.3f} |db|={float(jnp.max(jnp.abs(db))):.2e}")
-        eff_threshold = max(update_threshold,
-                            1e-5 if b.dtype == jnp.float32 else 0.0)
         if E_new < E and np.isfinite(E_new):
             step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
                 if db.size else True
@@ -784,7 +801,15 @@ def optimize(**kw):
 
     Mutates the input numpy arrays (intrinsics, extrinsics_rt_fromref,
     frames_rt_toref, points, calobject_warp, and observation weights for
-    outlier marking) like the reference does, and returns a stats dict."""
+    outlier marking) like the reference does, and returns a stats dict.
+
+    The production solve is DEVICE-RESIDENT: the entire trust-region LM
+    loop runs as one lax.while_loop (lm_solve_device) — zero host
+    round-trips per iteration.  On accelerator backends mixed_precision
+    defaults on (f32 device phase + short f64 polish; f64 is ~9x slower
+    software emulation on TPU v5e and tests/test_mixed_precision.py shows
+    <1e-6 px parity with pure f64).  On CPU it defaults off.  Both are
+    overridable: optimize(..., mixed_precision=..., device_loop=...)."""
     kw = _layout.normalize_inputs(kw)
     verbose = bool(kw.get("verbose", False))
     spec = spec_from_inputs(**kw)
@@ -801,22 +826,33 @@ def optimize(**kw):
     params = params_from_arrays(arrays)
     b = pack_params(params, spec)
 
-    mixed_precision = bool(kw.get("mixed_precision", False))
+    mixed_precision = kw.get("mixed_precision")
+    if mixed_precision is None:
+        mixed_precision = jax.default_backend() != "cpu"
+    # verbose needs per-iteration host prints -> host loop
+    device_loop = bool(kw.get("device_loop", True)) and not verbose
+
+    def solve(b, **solve_kw):
+        if device_loop:
+            return lm_solve_device(spec, arrays, b, **solve_kw)
+        return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
 
     total_niter = 0
     Noutliers = 0
     Noutliers_tri = 0
     while True:
         if mixed_precision:
-            # fast f32 phase to (approximate) convergence, f64 polish after
-            b32, _, niter32, _ = lm_solve(spec, arrays, b, verbose=verbose,
-                                          dtype=jnp.float32)
+            # fast f32 phase to (approximate) convergence, f64 polish after.
+            # The polish runs on the host loop: it is a handful of
+            # iterations from a near-converged start, and this avoids
+            # compiling a second (f64) while_loop graph.
+            b32, _, niter32, _ = solve(b, dtype=jnp.float32, quiet=True)
             b = jnp.asarray(b32, jnp.float64)
             b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose,
                                        max_iterations=50)
             niter += niter32
         else:
-            b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose)
+            b, E, niter, ne = solve(b)
         total_niter += niter
         if not (spec.selections.do_apply_outlier_rejection
                 and (spec.Nobservations_board or np_obs_tri is not None)):
@@ -931,7 +967,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
         state0 = (b0, ne0, jnp.asarray(1e-4, dt), jnp.asarray(2.0, dt),
                   jnp.asarray(0, jnp.int32), jnp.asarray(False))
         b, ne, lam, nu, it, done = jax.lax.while_loop(cond, body, state0)
-        return b, ne["E"], it
+        return b, ne, it
 
     _DEVICE_SOLVER_CACHE[key] = solve
     return solve
@@ -939,7 +975,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
 
 def lm_solve_device(spec: ProblemSpec, arrays, b0,
                     max_iterations=300, update_threshold=1e-7,
-                    dtype=None):
+                    dtype=None, quiet=False):
     """The whole trust-region LM loop as ONE jitted computation
     (jax.lax.while_loop): normal equations, Schur step, trial evaluation and
     the gain-ratio lambda control all run on device.  This removes the
@@ -947,21 +983,22 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     dispatch-bound and compute-bound on TPU.  One compilation serves all
     calls with the same problem shape (iteration bounds are dynamic).
 
-    Returns (b, E, niter)."""
+    Returns (b, E, niter, ne) — ne is the normal-equation dict at the
+    solution (residual vectors x_board/x_point/x_tri/x_reg included), same
+    as lm_solve()."""
     static_idx = dict(board=np.asarray(arrays["indices_board"]),
                       point=np.asarray(arrays["indices_point"]))
     if dtype is not None:
         arrays = _cast_arrays(arrays, dtype)
         b0 = jnp.asarray(b0, dtype)
     b0 = jnp.asarray(b0)
-    eff_threshold = max(update_threshold,
-                        1e-5 if b0.dtype == jnp.float32 else 0.0)
+    eff_threshold = _effective_threshold(update_threshold, b0.dtype, quiet)
     static_idx_key = (static_idx["board"].tobytes(),
                       static_idx["point"].tobytes())
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
-    b, E, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
-                     jnp.asarray(eff_threshold, b0.dtype))
-    return b, float(E), int(it)
+    b, ne, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
+                      jnp.asarray(eff_threshold, b0.dtype))
+    return b, float(ne["E"]), int(it), ne
 
 
 # ----------------------------------------------------------------------------

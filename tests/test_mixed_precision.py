@@ -46,7 +46,10 @@ def test_device_resident_lm_matches_host():
     arrays = arrays_from_inputs(**oi)
     b0 = pack_params(params_from_arrays(arrays), spec)
     b_host, E_host, _, _ = lm_solve(spec, arrays, b0)
-    b_dev, E_dev, niter = lm_solve_device(spec, arrays, b0)
+    b_dev, E_dev, niter, ne_dev = lm_solve_device(spec, arrays, b0)
+    assert ne_dev["x_board"].size == spec.Nobservations_board * \
+        spec.calibration_object_width_n * \
+        spec.calibration_object_height_n * 2
     assert np.isclose(E_host, E_dev, rtol=1e-9)
     assert np.allclose(np.asarray(b_host), np.asarray(b_dev), atol=1e-6)
     assert niter > 0
