@@ -1,75 +1,208 @@
-"""Benchmark: LM-iteration throughput on the canonical calibration scene.
+"""Benchmark: LM-iteration throughput of the PRODUCTION optimize() path on
+every BASELINE.json config.
 
-Scene: the documentation-tour shape (BASELINE.md) — one camera,
-LENSMODEL_OPENCV8, 84 frames of a 14x14-corner chessboard =>
-Nstate = 12 + 84*6 + 2 = 518, Nmeas = 84*14*14*2 + 10 = 32,938.
+Configs (BASELINE.json "configs"):
+  1. opencv8_1cam     single camera, LENSMODEL_OPENCV8, 84 frames of a
+                      14x14 board (the documentation-tour shape).
+  2. opencv8_4cam     4-camera joint calibration w/ extrinsics +
+                      calobject_warp, 84 frames (336 board observations).
+  3. splined_30x18    LENSMODEL_SPLINED_STEREOGRAPHIC order=3 Nx=30 Ny=18
+                      fov=150 (canonical splined config), 84 frames,
+                      core locked, regularization on.
+  4. sfm_triangulated SfM with triangulated points: 8-camera trajectory,
+                      500 points, ray-divergence measurements, scale fixed
+                      by unity_cam01 regularization.
+  5. rig16cam         16-camera rig, 40 frames seen by all cameras (640
+                      board observations).  The observation axis of this
+                      problem is what shards over a mesh (see
+                      bench_scaling.py / dryrun_multichip); here it runs
+                      on whatever single device jax provides.
 
-Metric: full LM iterations/s (normal-equation build from per-observation
-AD Jacobian blocks + Schur-reduced damped solve), on whatever device jax
-provides (TPU under the driver; CPU otherwise).  The iteration runs in f32
--- the production mixed-precision pipeline (f32 LM phase + f64 polish,
-verified in tests/test_mixed_precision.py to land within 1e-6 px of the
-pure-f64 optimum; f64 is software-emulated on TPU and ~9x slower).
+Metric per config: full LM iterations/s of a plain mrcal_tpu.optimize(**oi)
+call — the production path: device-resident lax.while_loop trust-region LM,
+mixed precision on accelerators (f32 device phase + f64 device polish,
+verified <1e-6 px of pure f64 in tests/test_mixed_precision.py).  The solve
+starts from a strongly perturbed state so it runs long enough to amortize
+the one-time dispatch latency (~25 ms over the axon device tunnel).
 
 vs_baseline: ratio against the single-threaded C reference
 (mrcal_optimize + libdogleg/CHOLMOD).  The C stack is not runnable in this
-container; we use 20 it/s as the documented conservative estimate for this
-problem size on a modern x86 core (CHOLMOD factorization of a 518-state
-33k-measurement problem plus the analytic-callback cost per iteration).
+container (no SuiteSparse/libdogleg); we model its per-iteration cost as
+    t_iter ~ t_callback + t_factorize
+calibrated at 20 it/s for config 1 (50 ms/iter for 33k measurements /
+518 states on a modern x86 core — conservative) and scaled per config by
+measurement count, with an extra 2x callback penalty for splined models
+(B-spline surface evaluation + much larger intrinsics block in the
+factorization).  Estimates are deliberately generous to the C reference.
+
+Output: ONE JSON line.  Headline keys (metric/value/unit/vs_baseline) are
+config 1 — comparable with BENCH_r01.json — plus a "configs" dict holding
+{value, unit, vs_baseline, niter, nmeas, nstate, rms} for all five.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import mrcal_tpu  # noqa: F401  (enables x64)
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# conservative single-threaded C-reference estimates, it/s (see module doc)
+_C_EST_CAL = 20.0 * 33000.0   # it/s * Nmeas for board problems
+_SPLINED_PENALTY = 2.0
+
+
+def _perturbed_oi(oi, seed=1, scale=1e-2):
+    """Deep-copy optimization_inputs with the state arrays perturbed so the
+    solve sustains many LM iterations."""
+    import copy
+    oi = copy.deepcopy(oi)
+    rng = np.random.default_rng(seed)
+    for k in ("intrinsics", "extrinsics_rt_fromref", "rt_cam_ref",
+              "frames_rt_toref", "rt_ref_frame", "points", "calobject_warp"):
+        a = oi.get(k)
+        if a is not None and np.asarray(a).size:
+            a = np.asarray(a, dtype=np.float64)
+            oi[k] = a + rng.normal(0.0, scale, a.shape)
+    return oi
+
+
+def _board_config(name, rms_gate, **mk):
     from __graft_entry__ import _make_problem
-    from mrcal_tpu.optimize.solver import (build_normal_equations,
-                                           schur_step, _delta_to_b)
+    from mrcal_tpu.optimize.layout import spec_from_inputs
 
-    oi, spec, arrays, b0 = _make_problem(
-        Ncameras=1, Nframes=84, model="LENSMODEL_OPENCV8", W=14, H=14)
+    oi, spec, arrays, b0 = _make_problem(**mk)
+    oi["do_apply_outlier_rejection"] = False
+    baseline = _C_EST_CAL / spec.Nmeasurements
+    if spec.is_splined:
+        baseline /= _SPLINED_PENALTY
+    return dict(name=name, oi=oi, spec=spec, baseline=baseline,
+                rms_gate=rms_gate)
 
-    static_idx = dict(board=np.asarray(arrays["indices_board"]),
-                      point=np.asarray(arrays["indices_point"]))
-    from mrcal_tpu.optimize.solver import _cast_arrays, lm_solve_device
-    import jax.numpy as jnp
 
-    # production pipeline: the ENTIRE trust-region LM loop device-resident
-    # (lax.while_loop), f32 phase.  Measure SUSTAINED iteration throughput:
-    # a long solve from a strongly perturbed start (so the ~25 ms one-time
-    # dispatch over the device tunnel amortizes over >100 LM iterations;
-    # a near-converged start makes the measurement dispatch-bound and
-    # understates throughput ~10x).
-    rng = np.random.default_rng(1)
-    b_start = jnp.asarray(np.asarray(b0) + rng.normal(0, 1e-2, len(b0)))
+def _sfm_config():
+    import mrcal_tpu as mrcal
+    from mrcal_tpu.optimize.layout import spec_from_inputs
 
-    # warmup/compile (same shapes/dtype as the measured call)
-    lm_solve_device(spec, arrays, b_start, max_iterations=2,
-                    dtype=jnp.float32)
+    np.random.seed(0)
+    Ncameras, Npoints = 8, 500
+    model = "LENSMODEL_PINHOLE"
+    W, H = 1600, 1000
+    intr = np.array([[800., 800., (W - 1) / 2, (H - 1) / 2]])
+    rt_true = np.zeros((Ncameras, 6))
+    for i in range(1, Ncameras):
+        rt_true[i] = [0.02 * i, -0.05 * i, 0.01 * i,
+                      -0.4 * i, 0.08 * np.sin(i), 0.05 * i]
+    rt_true[1:, 3:] /= np.linalg.norm(rt_true[1, 3:])
+    pts = np.stack([np.random.uniform(-6, 6, Npoints),
+                    np.random.uniform(-3, 3, Npoints),
+                    np.random.uniform(5.0, 25.0, Npoints)], axis=-1)
+    obs, idx = [], []
+    for ip in range(Npoints):
+        seen = []
+        for ic in range(Ncameras):
+            p_cam = np.asarray(mrcal.transform_point_rt(rt_true[ic], pts[ip]))
+            q = np.asarray(mrcal.project(p_cam, model, intr[0]))
+            if 0 <= q[0] <= W - 1 and 0 <= q[1] <= H - 1 and p_cam[2] > 0:
+                seen.append((ic, q))
+        if len(seen) >= 2:
+            for ic, q in seen:
+                obs.append([q[0] + np.random.randn() * 0.1,
+                            q[1] + np.random.randn() * 0.1, 1.0])
+                idx.append([ip, 0, ic - 1])
+    oi = dict(
+        intrinsics=intr,
+        extrinsics_rt_fromref=rt_true[1:].copy(),
+        observations_point_triangulated=np.array(obs),
+        indices_point_triangulated_camintrinsics_camextrinsics=np.array(
+            idx, dtype=np.int32),
+        lensmodel=model,
+        imagersizes=np.array([[W, H]]),
+        do_optimize_intrinsics_core=False,
+        do_optimize_intrinsics_distortions=False,
+        do_apply_regularization_unity_cam01=True,
+        do_apply_outlier_rejection=False,
+    )
+    spec = spec_from_inputs(**oi)
+    baseline = _C_EST_CAL / max(spec.Nmeasurements, 1)
+    return dict(name="sfm_triangulated", oi=oi, spec=spec, baseline=baseline,
+                rms_gate=0.5)
+
+
+def _run_config(cfg):
+    import mrcal_tpu as mrcal
+    spec = cfg["spec"]
+
+    # perturbed starts; warmup and measured runs share shapes/dtypes so the
+    # measured call reuses the compiled executable
+    oi_warm = _perturbed_oi(cfg["oi"], seed=1)
+    oi_meas = _perturbed_oi(cfg["oi"], seed=1)
+
+    _log(f"[{cfg['name']}] Nmeas={spec.Nmeasurements} "
+         f"Nstate={spec.Nstate} compiling/warmup ...")
+    t0 = time.perf_counter()
+    mrcal.optimize(**oi_warm, update_threshold=1e-7, max_iterations=2000)
+    _log(f"[{cfg['name']}] warmup {time.perf_counter() - t0:.1f}s; "
+         "measuring ...")
 
     t0 = time.perf_counter()
-    b, E, niter = lm_solve_device(spec, arrays, b_start,
-                                  max_iterations=300,
-                                  update_threshold=0.0,
-                                  dtype=jnp.float32)
+    stats = mrcal.optimize(**oi_meas, update_threshold=1e-7,
+                           max_iterations=2000)
     dt = time.perf_counter() - t0
-    niter = max(niter, 1)
-    rms = float(np.sqrt(E / max(spec.Nmeasurements, 1)))
-    assert rms < 0.5, f"bench solve did not converge: rms {rms} px"
+    niter = max(int(stats["niterations"]), 1)
+    rms = float(stats["rms_reproj_error__pixels"])
+    assert rms < cfg["rms_gate"], \
+        f"{cfg['name']}: solve did not converge (rms {rms})"
+    its = niter / dt
+    _log(f"[{cfg['name']}] {niter} iterations "
+         f"({stats['niterations_polish']} f64-polish) in {dt:.3f}s = "
+         f"{its:.1f} it/s (rms {rms:.3f} px)")
+    return dict(value=round(its, 3), unit="iterations/s",
+                vs_baseline=round(its / cfg["baseline"], 3),
+                baseline_c_estimate=round(cfg["baseline"], 3),
+                niter=niter, niter_polish=int(stats["niterations_polish"]),
+                nmeas=int(spec.Nmeasurements),
+                nstate=int(spec.Nstate), rms_px=round(rms, 4))
 
-    its_per_s = niter / dt
-    baseline_c_its_per_s = 20.0
+
+def main():
+    import mrcal_tpu  # noqa: F401  (enables x64, compile cache)
+
+    splined = ("LENSMODEL_SPLINED_STEREOGRAPHIC"
+               "_order=3_Nx=30_Ny=18_fov_x_deg=150")
+    configs = [
+        _board_config("opencv8_1cam", 0.5, Ncameras=1, Nframes=84,
+                      model="LENSMODEL_OPENCV8", W=14, H=14),
+        _board_config("opencv8_4cam", 0.5, Ncameras=4, Nframes=84,
+                      model="LENSMODEL_OPENCV8", W=14, H=14),
+        _board_config("splined_30x18", 0.5, Ncameras=1, Nframes=84,
+                      model=splined, W=14, H=14,
+                      do_optimize_intrinsics_core=False),
+        _sfm_config(),
+        _board_config("rig16cam", 0.5, Ncameras=16, Nframes=40,
+                      model="LENSMODEL_OPENCV8", W=14, H=14),
+    ]
+    only = os.environ.get("MRCAL_TPU_BENCH_CONFIGS")
+    if only:
+        names = set(only.split(","))
+        configs = [c for c in configs if c["name"] in names]
+
+    results = {}
+    for cfg in configs:
+        results[cfg["name"]] = _run_config(cfg)
+
+    head = results.get("opencv8_1cam", next(iter(results.values())))
     print(json.dumps({
         "metric": "lm_iterations_per_s__opencv8_84frames_14x14",
-        "value": round(its_per_s, 3),
+        "value": head["value"],
         "unit": "iterations/s",
-        "vs_baseline": round(its_per_s / baseline_c_its_per_s, 3),
+        "vs_baseline": head["vs_baseline"],
+        "configs": results,
     }))
 
 

@@ -619,7 +619,7 @@ def _effective_threshold(update_threshold, dtype, quiet=False):
 
 def lm_solve(spec: ProblemSpec, arrays, b0,
              max_iterations=300, update_threshold=1e-7, verbose=False,
-             dtype=None, quiet=False):
+             dtype=None, quiet=False, lam0=1e-4):
     """Levenberg-Marquardt to convergence.  Host loop over jitted device
     steps.  Returns (b, E, niter, ne_last).
 
@@ -638,7 +638,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
-    lam = 1e-4
+    lam = lam0
     nu = 2.0
     niter = 0
     for it in range(max_iterations):
@@ -812,6 +812,10 @@ def optimize(**kw):
     overridable: optimize(..., mixed_precision=..., device_loop=...)."""
     kw = _layout.normalize_inputs(kw)
     verbose = bool(kw.get("verbose", False))
+    # iteration controls: the reference hardcodes these (mrcal.c:6296-6299);
+    # we accept overrides (benchmarks force long solves with threshold=0)
+    max_iterations = int(kw.get("max_iterations", 300))
+    update_threshold = float(kw.get("update_threshold", 1e-7))
     spec = spec_from_inputs(**kw)
 
     # mutable numpy views of the caller's arrays
@@ -833,23 +837,33 @@ def optimize(**kw):
     device_loop = bool(kw.get("device_loop", True)) and not verbose
 
     def solve(b, **solve_kw):
+        solve_kw.setdefault("max_iterations", max_iterations)
+        solve_kw.setdefault("update_threshold", update_threshold)
         if device_loop:
             return lm_solve_device(spec, arrays, b, **solve_kw)
         return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
 
     total_niter = 0
+    niter_polish = 0
     Noutliers = 0
     Noutliers_tri = 0
     while True:
         if mixed_precision:
             # fast f32 phase to (approximate) convergence, f64 polish after.
-            # The polish runs on the host loop: it is a handful of
-            # iterations from a near-converged start, and this avoids
-            # compiling a second (f64) while_loop graph.
+            # The polish is also device-resident when device_loop is on: a
+            # handful of f64 while_loop iterations from a near-converged
+            # start (the f64 graph compiles once and lands in the
+            # persistent .jax_cache).  Starting the polish with a tiny
+            # trust-region damping (lam0=1e-10 instead of the cold 1e-4)
+            # lets it take full Gauss-Newton steps immediately: ~3-5
+            # iterations instead of ~50 spent re-shrinking lambda (f64 is
+            # ~9x slower on TPU, so this dominates the polish cost).
             b32, _, niter32, _ = solve(b, dtype=jnp.float32, quiet=True)
             b = jnp.asarray(b32, jnp.float64)
-            b, E, niter, ne = lm_solve(spec, arrays, b, verbose=verbose,
-                                       max_iterations=50)
+            b, E, niter, ne = solve(b, max_iterations=50,
+                                    update_threshold=update_threshold,
+                                    lam0=1e-10)
+            niter_polish += niter
             niter += niter32
         else:
             b, E, niter, ne = solve(b)
@@ -904,6 +918,7 @@ def optimize(**kw):
         Noutliers_board=Noutliers,
         Noutliers_triangulated_point=Noutliers_tri,
         niterations=total_niter,
+        niterations_polish=niter_polish,
         b_packed=np.asarray(b),
         x=x,
     )
@@ -928,7 +943,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
     ne_fn = build_normal_equations(spec, None, static_idx)
 
     @jax.jit
-    def solve(b0, arrays, max_iterations, update_threshold):
+    def solve(b0, arrays, max_iterations, update_threshold, lam0):
         dt = b0.dtype
 
         def cond(state):
@@ -964,7 +979,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             return (b, ne, lam, nu, it + 1, done)
 
         ne0 = ne_fn(b0, arrays)
-        state0 = (b0, ne0, jnp.asarray(1e-4, dt), jnp.asarray(2.0, dt),
+        state0 = (b0, ne0, jnp.asarray(lam0, dt), jnp.asarray(2.0, dt),
                   jnp.asarray(0, jnp.int32), jnp.asarray(False))
         b, ne, lam, nu, it, done = jax.lax.while_loop(cond, body, state0)
         return b, ne, it
@@ -975,7 +990,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
 
 def lm_solve_device(spec: ProblemSpec, arrays, b0,
                     max_iterations=300, update_threshold=1e-7,
-                    dtype=None, quiet=False):
+                    dtype=None, quiet=False, lam0=1e-4):
     """The whole trust-region LM loop as ONE jitted computation
     (jax.lax.while_loop): normal equations, Schur step, trial evaluation and
     the gain-ratio lambda control all run on device.  This removes the
@@ -997,7 +1012,8 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
                       static_idx["point"].tobytes())
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
     b, ne, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
-                      jnp.asarray(eff_threshold, b0.dtype))
+                      jnp.asarray(eff_threshold, b0.dtype),
+                      jnp.asarray(lam0, b0.dtype))
     return b, float(ne["E"]), int(it), ne
 
 
