@@ -152,23 +152,24 @@ def projection_uncertainty(p_cam, model, *,
     kw = normalize_inputs(kw)
     spec = spec_from_inputs(**kw)
     icam_i = model.icam_intrinsics()
-    from .optimize.layout import corresponding_icam_extrinsics
+    from .optimize.layout import camera_extrinsics_indices
+    # ALL the extrinsics under which this camera was observed.  A stationary
+    # camera gives one index; a MOVING camera a consecutive block — the
+    # perturbed projections are averaged over the block like the reference
+    # (model_analysis.py:937-1110 divides by Ncameras_extrinsics).
     try:
-        icam_e = corresponding_icam_extrinsics(icam_i, **kw)
-    except Exception:
-        icam_e = -1
+        ices = camera_extrinsics_indices(icam_i, **kw)
+    except ValueError:
+        ices = np.array([-1])
+    if method == "cross-reprojection-rrp-Jfp" and ices.size != 1:
+        raise NotImplementedError(
+            "cross-reprojection-rrp-Jfp handles stationary cameras only "
+            "(the reference has the same restriction, "
+            "model_analysis.py:901-903); use method='mean-pcam'")
 
     p_cam = jnp.asarray(p_cam, dtype=jnp.float64)
     dt = p_cam.dtype
     lensmodel = kw["lensmodel"]
-    intr = jnp.asarray(kw["intrinsics"][icam_i], dt)
-    ext = jnp.asarray(np.asarray(kw["extrinsics_rt_fromref"]), dt) \
-        if kw.get("extrinsics_rt_fromref") is not None and \
-        np.asarray(kw["extrinsics_rt_fromref"]).size else jnp.zeros((0, 6), dt)
-    frames = jnp.asarray(np.asarray(kw["frames_rt_toref"]), dt) \
-        if kw.get("frames_rt_toref") is not None else jnp.zeros((0, 6), dt)
-
-    scales = spec.scales()
 
     # For cross-reprojection-rrp-Jfp: the state perturbation implies a rigid
     # motion of the REFERENCE frame, rt_ref_ref* = Kpacked_rrp db
@@ -195,7 +196,15 @@ def projection_uncertainty(p_cam, model, *,
                                              inverted=inverted)
         return poseutils._transform_point_rt(rt, x, inverted=inverted)
 
+    lead_shape = np.asarray(p_cam).shape[:-1]
+    p_flat = p_cam.reshape(-1, 3)                          # (Nq, 3)
+
     def F(b_packed_delta):
+        """q* as a function of the packed-state perturbation: each query
+        point is carried through every (extrinsics e, frame f) combination
+        of the perturbed solution; the perturbed camera-frame points are
+        averaged over both axes (reference mean-pcam math,
+        model_analysis.py:985-1110)."""
         from .optimize.residuals import split_packed_state, arrays_from_inputs
         from .optimize.residuals import pack_params, params_from_arrays
         arrays = arrays_from_inputs(**kw)
@@ -203,15 +212,21 @@ def projection_uncertainty(p_cam, model, *,
         b0 = pack_params(params0, spec)
         params = split_packed_state(b0 + b_packed_delta, arrays, spec)
         intr_p = params["intrinsics"][icam_i]
-        if icam_e >= 0:
-            rt_cam_ref0 = jnp.asarray(
-                np.asarray(kw["extrinsics_rt_fromref"])[icam_e], dt)
-            rt_cam_ref_p = params["extrinsics"][icam_e]
+
+        ice_j = jnp.asarray(np.maximum(ices, 0))
+        at_ref = jnp.asarray((ices < 0)[:, None].astype(np.float64))
+        if spec.Ncameras_extrinsics:
+            ext0 = jnp.asarray(
+                np.asarray(kw["extrinsics_rt_fromref"]).reshape(-1, 6), dt)
+            rt_cam_ref0 = ext0[ice_j] * (1.0 - at_ref)     # (Ne, 6)
+            rt_cam_ref_p = params["extrinsics"][ice_j] * (1.0 - at_ref)
         else:
-            rt_cam_ref0 = jnp.zeros(6, dt)
-            rt_cam_ref_p = jnp.zeros(6, dt)
-        # reference point in the unperturbed ref frame
-        p_ref0 = _tx(rt_cam_ref0, p_cam, inverted=True)
+            rt_cam_ref0 = jnp.zeros((len(ices), 6), dt)
+            rt_cam_ref_p = jnp.zeros((len(ices), 6), dt)
+
+        # query points in the unperturbed ref frame, per extrinsics:
+        # (Ne, Nq, 3)
+        p_ref0 = _tx(rt_cam_ref0[:, None], p_flat[None], inverted=True)
         if Kp_rrp is not None:
             rt_rr = Kp_rrp @ b_packed_delta        # rt_ref_ref*
             p_ref_p = _tx(jnp.broadcast_to(rt_rr, p_ref0.shape[:-1] + (6,)),
@@ -219,21 +234,20 @@ def projection_uncertainty(p_cam, model, *,
         elif spec.Nframes:
             # carry through each (unperturbed -> perturbed) frame, average
             rt_f0 = jnp.asarray(np.asarray(kw["frames_rt_toref"]), dt)
-            p_frames = _tx(
-                rt_f0[:, None] if p_ref0.ndim > 1 else rt_f0,
-                p_ref0, inverted=True)     # (Nframes, ..., 3)
-            p_ref_p = _tx(
-                params["frames"][:, None] if p_ref0.ndim > 1
-                else params["frames"], p_frames)
-            p_ref_p = jnp.mean(p_ref_p, axis=0)
+            # (Nframes, Ne, Nq, 3)
+            p_frames = _tx(rt_f0[:, None, None], p_ref0[None],
+                           inverted=True)
+            p_ref_p = _tx(params["frames"][:, None, None], p_frames)
+            p_ref_p = jnp.mean(p_ref_p, axis=0)            # (Ne, Nq, 3)
         else:
             p_ref_p = p_ref0
-        p_cam_p = _tx(rt_cam_ref_p, p_ref_p)
+        p_cam_p = _tx(rt_cam_ref_p[:, None], p_ref_p)      # (Ne, Nq, 3)
+        p_cam_p = jnp.mean(p_cam_p, axis=0)                # (Nq, 3)
         from .lensmodels import project_core, parse_lensmodel
         return project_core(p_cam_p, intr_p, parse_lensmodel(lensmodel))
 
     b_zero = jnp.zeros(spec.Nstate, dt)
-    q0 = F(b_zero)
+    q0 = F(b_zero).reshape(lead_shape + (2,))
     dF_db = np.asarray(jax.jacrev(F)(b_zero)).reshape(
         np.asarray(q0).shape[:-1] + (2, spec.Nstate))
     Var = _propagate_calibration_uncertainty(
@@ -390,12 +404,20 @@ def stereo_pair_diff(model_pairs, *, gridn_width=60, gridn_height=None,
     W, H = model_pairs[0][0].imagersize()
     q0 = None
     q1s = []
-    d = distance if distance is not None else 1e5
+    # distance=None means AT INFINITY: zero the pair translation (only the
+    # relative rotation matters for directions) and use unit range — exact,
+    # not a large-number approximation (reference model_analysis.py:2044)
+    atinfinity = distance is None
+    d = 1.0 if atinfinity else distance
     for m0, m1 in model_pairs:
         v0, q0 = sample_imager_unproject(gridn_width, gridn_height, W, H,
                                          *m0.intrinsics(), normalize=True)
         p0 = jnp.asarray(v0) * d
-        Rt10 = poseutils.compose_Rt(m1.Rt_cam_ref(), m0.Rt_ref_cam())
+        Rt10 = np.asarray(
+            poseutils.compose_Rt(m1.Rt_cam_ref(), m0.Rt_ref_cam()))
+        if atinfinity:
+            Rt10 = Rt10.copy()
+            Rt10[3, :] = 0.0
         p1 = poseutils.transform_point_Rt(jnp.asarray(Rt10), p0)
         q1s.append(np.asarray(project(p1, *m1.intrinsics())))
     diff = q1s[1] - q1s[0]

@@ -450,6 +450,41 @@ def measurement_index_regularization(**kw):
     return spec_from_inputs(**kw).measurement_index_regularization0
 
 
+def camera_extrinsics_indices(icam_intrinsics, **kw):
+    """ALL extrinsics indices under which icam_intrinsics is observed
+    (sorted, may include -1 = at the reference).  A stationary camera yields
+    one index; a moving camera several.  Like the reference
+    (model_analysis.py:1459-1483) we require a consecutive block so the
+    state slice is contiguous.  Board and point observations both count."""
+    rows = []
+    for key in ("indices_frame_camintrinsics_camextrinsics",
+                "indices_point_camintrinsics_camextrinsics"):
+        idx = kw.get(key)
+        if idx is not None and np.asarray(idx).size:
+            rows.append(np.asarray(idx)[:, 1:3])
+    if not rows:
+        raise ValueError("no observation indices; cannot find extrinsics "
+                         f"for camera {icam_intrinsics}")
+    icice = np.concatenate(rows, axis=0)
+    ce = np.unique(icice[icice[:, 0] == icam_intrinsics, 1])
+    if ce.size == 0:
+        raise ValueError(f"no observations for camera {icam_intrinsics}")
+    if ce.size > 1:
+        d = np.unique(np.diff(ce))
+        if not (d.size == 1 and d[0] == 1):
+            raise ValueError(
+                f"camera {icam_intrinsics} has a non-consecutive extrinsics "
+                f"block {ce}; only consecutive blocks are supported "
+                "(reference model_analysis.py:1470-1473 has the same "
+                "restriction)")
+        if ce[0] < 0:
+            raise ValueError(
+                f"moving camera {icam_intrinsics} has some poses AT the "
+                "reference; not supported (reference "
+                "model_analysis.py:1476-1483 raises here too)")
+    return ce.astype(int)
+
+
 def corresponding_icam_extrinsics(icam_intrinsics, **kw):
     """For a calibration problem where each physical camera has one
     intrinsics index and at most one extrinsics index, return the extrinsics

@@ -460,36 +460,70 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
     reports drt_ref_ref*/dbpacked ('rrp').
 
       Kpacked = -inv(Jcross_t Jcross) Jcross_t J_packed[frames,points,cw]
+
+    The ccp flavor fits rt_cam*_cam* to the QUERY CAMERA's measurement rows
+    only (reference: uncertainty.c:1189-1198 skips other cameras'
+    measurements); the rrp flavor uses every row.
     """
     import jax
-    from .layout import spec_from_inputs, normalize_inputs, \
-        corresponding_icam_extrinsics
+    from .layout import (spec_from_inputs, normalize_inputs,
+                         camera_extrinsics_indices)
     kw = normalize_inputs(kw)
     spec = spec_from_inputs(**kw)
     arrays = arrays_from_inputs(**kw)
     params = params_from_arrays(arrays)
     b = pack_params(params, spec)
 
+    row_mask = None
     if icam_intrinsics is None or icam_intrinsics < 0:
         rt_csr = None                               # 'rrp' flavor
     else:
-        try:
-            icam_e = corresponding_icam_extrinsics(icam_intrinsics, **kw)
-        except Exception:
-            icam_e = -1
+        ices = camera_extrinsics_indices(icam_intrinsics, **kw)
+        if ices.size != 1:
+            raise NotImplementedError(
+                f"cross-reprojection-ccp: camera {icam_intrinsics} is "
+                f"observed under {ices.size} extrinsics indices {ices} "
+                "(moving camera); only stationary cameras are supported "
+                "for the ccp flavor. Use method='mean-pcam'.")
+        icam_e = int(ices[0])
         rt_csr = (params["extrinsics"][icam_e] if icam_e >= 0
                   else jnp.zeros(6, b.dtype))
+        # row mask over the boards+points measurement rows: the ccp fit
+        # uses only the query camera's observations
+        masks = []
+        if spec.Nobservations_board:
+            per_obs = np.asarray(arrays["indices_board"])[:, 1] \
+                == icam_intrinsics
+            rows_per = 2 * spec.calibration_object_height_n * \
+                spec.calibration_object_width_n
+            masks.append(np.repeat(per_obs, rows_per))
+        if spec.Nobservations_point:
+            per_obs = np.asarray(arrays["indices_point"])[:, 1] \
+                == icam_intrinsics
+            masks.append(np.repeat(per_obs, 2))
+        if masks:
+            row_mask = jnp.asarray(np.concatenate(masks), b.dtype)
 
     Jcross = jax.jacfwd(
         lambda rt: residuals_cross(rt, b, arrays, spec, rt_csr))(
         jnp.zeros(6, b.dtype))                     # (Nmeas_obs, 6)
+    if row_mask is not None:
+        # masking Jcross alone masks both JcT_Jc and JcT_J (the mask is
+        # idempotent: Jc' = M Jc gives Jc'^T Jc' = Jc^T M Jc and
+        # Jc'^T J = Jc^T M J)
+        Jcross = Jcross * row_mask[:, None]
 
-    # dense packed Jacobian of the measurement rows; keep only the
-    # frame/point/calobject_warp columns
+    # dense packed Jacobian of the measurement rows.  The columns kept are
+    # the PERTURBED quantities of the cross-reprojection data flow
+    # (doc/uncertainty-cross-reprojection.org):
+    #   rrp: x_cross_0 = x* + J_[frames,points,cw] db
+    #   ccp: x_cross_0 = x* + J_[extrinsics,frames,points,cw] db
+    # (the ccp flow is T_cc+ T_c+r+ T_r+f+: extrinsics are perturbed too)
     Jdense = jax.jacrev(lambda bb: residuals_from_packed(bb, arrays, spec))(b)
     Nobs_meas = spec.measurement_index_points_triangulated0
-    J_fpcw = jnp.asarray(Jdense)[:Nobs_meas].at[
-        :, :spec.state_index_frames0].set(0.0)
+    col0 = (spec.state_index_frames0 if rt_csr is None
+            else spec.state_index_extrinsics0)
+    J_fpcw = jnp.asarray(Jdense)[:Nobs_meas].at[:, :col0].set(0.0)
 
     JcT_Jc = Jcross.T @ Jcross
     JcT_J = Jcross.T @ J_fpcw

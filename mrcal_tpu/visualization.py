@@ -408,6 +408,13 @@ def show_stereo_pair_diff(model_pairs, *, gridn_width=60, gridn_height=None,
     """Heatmap of the cam0->cam1 reprojection mismatch between two
     calibrations of the same stereo rig (reference: visualization.py:1431;
     analysis: model_analysis.stereo_pair_diff)."""
+    if kwargs:
+        import warnings
+        warnings.warn(
+            "show_stereo_pair_diff: ignoring unimplemented options "
+            f"{sorted(kwargs)} (the reference's vectorfield/observations/"
+            "valid_intrinsics_region modes are not implemented here)",
+            stacklevel=2)
     from .model_analysis import stereo_pair_diff
     difflen, diff, q0 = stereo_pair_diff(
         model_pairs, gridn_width=gridn_width, gridn_height=gridn_height,
