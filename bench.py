@@ -58,17 +58,22 @@ _SPLINED_PENALTY = 2.0
 
 
 def _perturbed_oi(oi, seed=1, scale=1e-2):
-    """Deep-copy optimization_inputs with the state arrays perturbed so the
-    solve sustains many LM iterations."""
+    """Deep-copy optimization_inputs with the GEOMETRY arrays perturbed so
+    the solve sustains many LM iterations.  Per-quantity scales keep the
+    start inside the basin of attraction (a warp perturbation of 1e-2 m is
+    10x the SCALE_CALOBJECT_WARP and traps multi-camera solves in local
+    minima; intrinsics start at the optimum like a real staged pipeline)."""
     import copy
     oi = copy.deepcopy(oi)
     rng = np.random.default_rng(seed)
-    for k in ("intrinsics", "extrinsics_rt_fromref", "rt_cam_ref",
-              "frames_rt_toref", "rt_ref_frame", "points", "calobject_warp"):
+    scales = {"extrinsics_rt_fromref": scale, "rt_cam_ref": scale,
+              "frames_rt_toref": scale, "rt_ref_frame": scale,
+              "points": scale, "calobject_warp": 1e-3}
+    for k, s in scales.items():
         a = oi.get(k)
         if a is not None and np.asarray(a).size:
             a = np.asarray(a, dtype=np.float64)
-            oi[k] = a + rng.normal(0.0, scale, a.shape)
+            oi[k] = a + rng.normal(0.0, s, a.shape)
     return oi
 
 

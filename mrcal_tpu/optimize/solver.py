@@ -619,7 +619,7 @@ def _effective_threshold(update_threshold, dtype, quiet=False):
 
 def lm_solve(spec: ProblemSpec, arrays, b0,
              max_iterations=300, update_threshold=1e-7, verbose=False,
-             dtype=None, quiet=False, lam0=1e-4):
+             dtype=None, quiet=False, lam0=1e-4, ftol=None):
     """Levenberg-Marquardt to convergence.  Host loop over jitted device
     steps.  Returns (b, E, niter, ne_last).
 
@@ -636,6 +636,8 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
 
     b = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
+    if ftol is None:
+        ftol = 1e-6 if b.dtype == jnp.float32 else 1e-12
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
     lam = lam0
@@ -658,21 +660,24 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         if verbose:
             print(f"iter {it}: E={E:.6e} Enew={E_new:.6e} lam={lam:.2e} "
                   f"rho={rho:.3f} |db|={float(jnp.max(jnp.abs(db))):.2e}")
+        step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
+            if db.size else True
+        flat = False
         if E_new < E and np.isfinite(E_new):
-            step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
-                if db.size else True
+            flat = (E - E_new) <= ftol * E
             b, ne, E = b_new, ne_new, E_new
             lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3) \
                 if rho > 0 else lam / 2.0
             lam = max(lam, 1e-14)
             nu = 2.0
-            if step_small:
-                break
         else:
             lam *= nu
             nu *= 2.0
-            if lam > 1e12:
-                break
+        # converged when the PROPOSED step is small (accepted or not), the
+        # accepted improvement is at the dtype's precision floor, or the
+        # trust region has collapsed
+        if step_small or flat or lam > 1e12:
+            break
     return b, E, niter, ne
 
 
@@ -943,7 +948,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
     ne_fn = build_normal_equations(spec, None, static_idx)
 
     @jax.jit
-    def solve(b0, arrays, max_iterations, update_threshold, lam0):
+    def solve(b0, arrays, max_iterations, update_threshold, lam0, ftol):
         dt = b0.dtype
 
         def cond(state):
@@ -963,6 +968,11 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
             rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
             accept = (E_try < E) & jnp.isfinite(E_try)
+            # converged when the PROPOSED step is below the threshold,
+            # accepted or not (libdogleg semantics: a rejected tiny step
+            # means the damped model cannot improve -> we are done; gating
+            # on acceptance burns many reject iterations at convergence
+            # while lambda climbs)
             small = jnp.max(jnp.abs(db)) < update_threshold
 
             b = jnp.where(accept, b_try, b)
@@ -975,7 +985,11 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             lam = jnp.where(accept,
                             jnp.where(rho > 0, lam_down, lam / 2.0), lam_up)
             nu = jnp.where(accept, 2.0, nu * 2.0)
-            done = (accept & small) | (lam > 1e12)
+            # ftol: an accepted step that improves E by less than ftol*E
+            # means we are grinding at the dtype's precision floor (f32
+            # cannot resolve further progress; f64 is at roundoff)
+            flat = accept & ((E - E_try) <= ftol * E)
+            done = small | flat | (lam > 1e12)
             return (b, ne, lam, nu, it + 1, done)
 
         ne0 = ne_fn(b0, arrays)
@@ -990,7 +1004,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
 
 def lm_solve_device(spec: ProblemSpec, arrays, b0,
                     max_iterations=300, update_threshold=1e-7,
-                    dtype=None, quiet=False, lam0=1e-4):
+                    dtype=None, quiet=False, lam0=1e-4, ftol=None):
     """The whole trust-region LM loop as ONE jitted computation
     (jax.lax.while_loop): normal equations, Schur step, trial evaluation and
     the gain-ratio lambda control all run on device.  This removes the
@@ -1010,10 +1024,15 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     eff_threshold = _effective_threshold(update_threshold, b0.dtype, quiet)
     static_idx_key = (static_idx["board"].tobytes(),
                       static_idx["point"].tobytes())
+    if ftol is None:
+        # f32 grinds at its ~1e-7 relative-E precision floor; f64 at
+        # roundoff.  Terminate when accepted improvements fall below it.
+        ftol = 1e-6 if b0.dtype == jnp.float32 else 1e-12
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
     b, ne, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
                       jnp.asarray(eff_threshold, b0.dtype),
-                      jnp.asarray(lam0, b0.dtype))
+                      jnp.asarray(lam0, b0.dtype),
+                      jnp.asarray(ftol, b0.dtype))
     return b, float(ne["E"]), int(it), ne
 
 

@@ -351,21 +351,45 @@ def _triangulated_error(v0, v1, t01):
 
 
 def triangulate(q, models, *, stabilize_coords=True,
-                instability_per_meter=None, method=None,
+                method=None,
                 q_calibration_stdev=None, q_observation_stdev=None,
                 q_observation_stdev_correlation=0.0):
-    """Triangulate a feature observed in two cameras, optionally propagating
-    calibration-time and observation-time noise (reference:
+    """Triangulate N features observed in two cameras, optionally
+    propagating calibration-time and observation-time noise (reference:
     triangulation.py:1616).
 
-    q: (..., 2 cameras, 2) pixel observations.  models: 2 cameramodels.
-    Without stdev arguments returns p (...,3) in camera-0 coords; with them
-    returns (p, Var_p) tuples per the reference API."""
+    q: (..., 2 cameras, 2) pixel observations, broadcasting over the
+    leading dims.  models: 2 cameramodels (from the same solve when
+    calibration noise is propagated).
+
+    Return structure per the reference (triangulation.py:1803-1838):
+      neither stdev:            p (...,3)
+      calibration only:         p, Var_p_calibration (...,3,...,3)
+      observation only:         p, Var_p_observation (...,3,3)
+      both:                     p, Var_p_calibration, Var_p_observation,
+                                Var_p_joint (...,3,...,3)
+    A stdev of 0 skips the propagation but still returns zeros of the
+    right shape.  Var_p_calibration carries the full CROSS-POINT
+    correlations induced by the shared calibration; Var_p_observation is
+    block-diagonal (independent per-point pixel noise).
+
+    stabilize_coords: compensate for the motion of the camera-0 coordinate
+    system under calibration noise by carrying the triangulated point
+    through the (fixed-in-space) frames, like the mean-pcam uncertainty
+    does (reference: triangulation.py:1263-1330)."""
     from .projections import unproject
-    from .poseutils import compose_Rt, invert_Rt, transform_point_Rt, rotate_point_R
+    from .poseutils import compose_Rt, invert_Rt, rotate_point_R
     if method is None:
         method = triangulate_leecivera_mid2
+    if method is triangulate_lindstrom and (
+            q_calibration_stdev is not None
+            or q_observation_stdev is not None):
+        raise Exception(
+            "Triangulation gradients not supported with "
+            "method=triangulate_lindstrom (different inputs); same "
+            "restriction as the reference (triangulation.py:1229)")
     q = jnp.asarray(q)
+    lead = q.shape[:-2]
     m0, m1 = models
     v0_local = unproject(q[..., 0, :], *m0.intrinsics())
     v1_local = unproject(q[..., 1, :], *m1.intrinsics())
@@ -377,42 +401,78 @@ def triangulate(q, models, *, stabilize_coords=True,
     if q_calibration_stdev is None and q_observation_stdev is None:
         return p
 
-    # observation-time noise propagation: dp/dq via AD through
-    # unproject+triangulate; calibration noise via the models'
-    # optimization_inputs (full machinery lands with model_analysis)
-    def ptri(q01):
-        v0l = unproject(q01[0], *m0.intrinsics())
-        v1l = unproject(q01[1], *m1.intrinsics())
-        v1r = rotate_point_R(Rt01[..., :3, :], v1l)
-        return method(v0l, v1r, t01)
+    dt = p.dtype
+    q2 = q.reshape((-1, 2, 2))                        # (N,2,2)
+    N = q2.shape[0]
 
-    Var_p = jnp.zeros(p.shape + (3,), p.dtype)
+    Var_obs = None
     if q_observation_stdev is not None:
-        J = jax.jacfwd(ptri)(q)         # (3, 2, 2)
-        Jf = J.reshape(3, 4)
-        rho = q_observation_stdev_correlation
-        C = jnp.eye(4, dtype=p.dtype)
-        C = C.at[0, 2].set(rho).at[2, 0].set(rho)
-        C = C.at[1, 3].set(rho).at[3, 1].set(rho)
-        Var_p = Var_p + (q_observation_stdev ** 2) * (Jf @ C @ Jf.T)
-    if q_calibration_stdev is not None and q_calibration_stdev > 0:
-        Var_p = Var_p + _triangulation_Var_calibration(
-            q, m0, m1, method, q_calibration_stdev)
-    return p, Var_p
+        if q_observation_stdev < 0:
+            raise Exception("q_observation_stdev MUST be None or >= 0")
+        if q_observation_stdev == 0:
+            Var_obs = np.zeros(lead + (3, 3))
+        else:
+            def ptri(q01):
+                v0l = unproject(q01[0], *m0.intrinsics())
+                v1l = unproject(q01[1], *m1.intrinsics())
+                v1r = rotate_point_R(Rt01[..., :3, :], v1l)
+                return method(v0l, v1r, t01)
+
+            J = jax.vmap(jax.jacfwd(ptri))(q2)        # (N,3,2,2)
+            Jf = J.reshape(N, 3, 4)
+            rho = q_observation_stdev_correlation
+            C = jnp.eye(4, dtype=dt)
+            C = C.at[0, 2].set(rho).at[2, 0].set(rho)
+            C = C.at[1, 3].set(rho).at[3, 1].set(rho)
+            Var_obs = np.asarray(
+                (q_observation_stdev ** 2)
+                * jnp.einsum("nia,ab,njb->nij", Jf, C, Jf)
+            ).reshape(lead + (3, 3))
+
+    Var_cal = None
+    if q_calibration_stdev is not None:
+        if q_calibration_stdev < 0:
+            raise Exception("q_calibration_stdev MUST be None or >= 0")
+        if q_calibration_stdev == 0:
+            Var_cal = np.zeros(lead + (3,) + lead + (3,))
+        else:
+            Var_cal = _triangulation_Var_calibration(
+                q2, m0, m1, method, q_calibration_stdev,
+                stabilize_coords=stabilize_coords)     # (N,3,N,3)
+            Var_cal = Var_cal.reshape(lead + (3,) + lead + (3,))
+
+    if Var_cal is None:
+        return p, Var_obs
+    if Var_obs is None:
+        return p, Var_cal
+    # joint = calibration (fully correlated across points) + observation
+    # (independent per point) on the block diagonal
+    Var_joint = Var_cal.reshape(N, 3, N, 3).copy()
+    Var_joint[np.arange(N), :, np.arange(N), :] += \
+        Var_obs.reshape(N, 3, 3)
+    Var_joint = Var_joint.reshape(lead + (3,) + lead + (3,))
+    return p, Var_cal, Var_obs, Var_joint
 
 
-def _triangulation_Var_calibration(q, m0, m1, method, q_calibration_stdev):
-    """Propagate calibration-time noise into the triangulated point
+def _triangulation_Var_calibration(q2, m0, m1, method, q_calibration_stdev,
+                                   stabilize_coords=True):
+    """Propagate calibration-time noise into N triangulated points JOINTLY
     (reference: triangulation.py:1184 _triangulation_uncertainty_internal).
     Both models must come from the same solve (shared optimization_inputs);
     dp/db is computed by AD through unproject+transform+triangulate and
-    pushed through Var(b) with the standard machinery."""
+    pushed through Var(b) as ONE (3N, Nstate) block, so the returned
+    (N,3,N,3) covariance keeps the cross-point correlations.
+
+    stabilize_coords carries the perturbed point through the perturbed
+    frames and back through the baseline frames (fixed-objects-in-space
+    compensation, reference triangulation.py:1263-1330)."""
     from .optimize.layout import (spec_from_inputs, normalize_inputs,
-                                  corresponding_icam_extrinsics)
+                                  camera_extrinsics_indices)
     from .optimize.residuals import (arrays_from_inputs, params_from_arrays,
                                      pack_params, split_packed_state)
     from .model_analysis import _propagate_calibration_uncertainty
-    from .poseutils import _compose_rt2, _invert_rt, _rotate_point_r
+    from .poseutils import (_compose_rt2, _invert_rt, _rotate_point_r,
+                            _transform_point_rt)
     from .lensmodels import unproject_core, parse_lensmodel
 
     kw = m0.optimization_inputs()
@@ -429,12 +489,23 @@ def _triangulation_Var_calibration(q, m0, m1, method, q_calibration_stdev):
     for m in (m0, m1):
         ici = m.icam_intrinsics() or 0
         try:
-            ice = corresponding_icam_extrinsics(ici, **kw)
-        except Exception:
+            ices = camera_extrinsics_indices(ici, **kw)
+            ice = int(ices[0]) if ices.size == 1 else -2
+        except ValueError:
             ice = -1
+        if ice == -2:
+            raise Exception("triangulate() calibration-noise propagation "
+                            "needs stationary cameras (one extrinsics "
+                            "index per camera)")
         icams.append((ici, ice))
 
-    q = jnp.asarray(q)
+    q2 = jnp.asarray(q2)
+    N = q2.shape[0]
+    frames0 = (jnp.asarray(np.asarray(kw["frames_rt_toref"]), b0.dtype)
+               if kw.get("frames_rt_toref") is not None
+               and np.asarray(kw["frames_rt_toref"]).size else None)
+    stabilize = stabilize_coords and frames0 is not None \
+        and spec.selections.do_optimize_frames
 
     def F(db):
         params = split_packed_state(b0 + db, arrays, spec)
@@ -443,19 +514,31 @@ def _triangulation_Var_calibration(q, m0, m1, method, q_calibration_stdev):
         (ici0, ice0), (ici1, ice1) = icams
         rt0 = ext_pad[ice0 + 1]
         rt1 = ext_pad[ice1 + 1]
-        v0 = unproject_core(q[..., 0, :], params["intrinsics"][ici0], lm)
-        v1l = unproject_core(q[..., 1, :], params["intrinsics"][ici1], lm)
-        # camera1 -> camera0
+        v0 = unproject_core(q2[:, 0, :], params["intrinsics"][ici0], lm)
+        v1l = unproject_core(q2[:, 1, :], params["intrinsics"][ici1], lm)
+        # camera1 -> camera0 (perturbed geometry)
         rt01 = _compose_rt2(rt0, _invert_rt(rt1))
         v1 = _rotate_point_r(rt01[..., :3], v1l)
-        t01 = rt01[..., 3:]
-        return method(v0, v1, t01)
+        t01 = jnp.broadcast_to(rt01[..., 3:], v1.shape)
+        p_cam = method(v0, v1, t01)                    # (N,3) perturbed
+        if not stabilize:
+            return p_cam
+        # stabilization: perturbed cam0 -> perturbed ref -> (fixed) frames
+        # -> baseline ref -> baseline cam0; mean over frames
+        rt00 = jnp.asarray(
+            np.asarray(kw["extrinsics_rt_fromref"]).reshape(-1, 6)[ice0]
+            if ice0 >= 0 else np.zeros(6), b0.dtype)
+        p_ref_p = _transform_point_rt(rt0, p_cam, inverted=True)
+        p_frames = _transform_point_rt(
+            params["frames"][:, None], p_ref_p[None], inverted=True)
+        p_ref_0 = _transform_point_rt(frames0[:, None], p_frames)
+        p_ref_0 = jnp.mean(p_ref_0, axis=0)            # (N,3)
+        return _transform_point_rt(rt00, p_ref_0)
 
     dF = np.asarray(jax.jacrev(F)(jnp.zeros(spec.Nstate, b0.dtype)))
-    dF = dF.reshape(-1, 3, spec.Nstate) if dF.ndim > 2 else dF[None]
+    # ONE covariance block over all 3N outputs -> full cross-point Var
     Var = _propagate_calibration_uncertainty(
-        dF, optimization_inputs=kw,
+        dF.reshape(3 * N, spec.Nstate), optimization_inputs=kw,
         observed_pixel_uncertainty=q_calibration_stdev,
         what="covariance")
-    Var = np.asarray(Var)
-    return Var[0] if dF.shape[0] == 1 else Var
+    return np.asarray(Var).reshape(N, 3, N, 3)

@@ -138,15 +138,62 @@ def test_triangulate_calibration_noise(tmp_path):
     q1 = np.asarray(mrcal.project(p1, *m1.intrinsics()))
     q = np.stack([q0, q1])
 
-    p, Var = mrcal.triangulate(q, (m0, m1), q_calibration_stdev=0.3,
-                               q_observation_stdev=0.2)
+    p, Var_cal, Var_obs, Var_joint = mrcal.triangulate(
+        q, (m0, m1), q_calibration_stdev=0.3, q_observation_stdev=0.2)
     assert np.allclose(np.asarray(p), p_true, atol=0.05)
-    Var = np.asarray(Var)
-    l = np.linalg.eigvalsh(Var)
-    assert np.all(l > 0)
-    # calibration noise must contribute: Var > observation-only Var
-    _, Var_obs = mrcal.triangulate(q, (m0, m1), q_observation_stdev=0.2)
-    assert np.trace(Var) > np.trace(np.asarray(Var_obs))
+    for V in (Var_cal, Var_obs, Var_joint):
+        assert np.asarray(V).shape == (3, 3)
+        assert np.all(np.linalg.eigvalsh(np.asarray(V)) >= -1e-12)
+    # the joint covariance is the sum of the two components
+    assert np.allclose(np.asarray(Var_joint),
+                       np.asarray(Var_cal) + np.asarray(Var_obs))
+    # calibration noise must contribute
+    _, Var_obs2 = mrcal.triangulate(q, (m0, m1), q_observation_stdev=0.2)
+    assert np.allclose(np.asarray(Var_obs), np.asarray(Var_obs2))
+    assert np.trace(np.asarray(Var_joint)) > np.trace(np.asarray(Var_obs))
+
+    # ---- broadcasting over N points (reference triangulation.py:1616
+    # broadcasts fully; Var_p_calibration keeps cross-point correlation) ----
+    p_true_N = np.array([[0.1, -0.2, 3.0],
+                         [-0.4, 0.1, 2.0],
+                         [0.3, 0.3, 5.0]])
+    qs = []
+    for pt in p_true_N:
+        q0 = np.asarray(mrcal.project(pt, *m0.intrinsics()))
+        p1 = np.asarray(mrcal.transform_point_rt(
+            m1.extrinsics_rt_fromref(), pt))
+        qs.append(np.stack([q0, np.asarray(mrcal.project(
+            p1, *m1.intrinsics()))]))
+    qN = np.array(qs)                                  # (3,2,2)
+    pN, VcalN, VobsN, VjointN = mrcal.triangulate(
+        qN, (m0, m1), q_calibration_stdev=0.3, q_observation_stdev=0.2)
+    assert np.asarray(pN).shape == (3, 3)
+    assert np.allclose(np.asarray(pN), p_true_N, atol=0.05)
+    assert np.asarray(VobsN).shape == (3, 3, 3)
+    assert np.asarray(VcalN).shape == (3, 3, 3, 3)
+    assert np.asarray(VjointN).shape == (3, 3, 3, 3)
+    # diagonal blocks of the N-point solve match the single-point solves
+    for i in range(3):
+        p_i, Vc_i, Vo_i, Vj_i = mrcal.triangulate(
+            qN[i], (m0, m1), q_calibration_stdev=0.3,
+            q_observation_stdev=0.2)
+        assert np.allclose(np.asarray(VobsN)[i], np.asarray(Vo_i),
+                           rtol=1e-9, atol=1e-12)
+        assert np.allclose(np.asarray(VcalN)[i, :, i, :],
+                           np.asarray(Vc_i), rtol=1e-9, atol=1e-12)
+    # cross-point calibration correlation is non-trivial
+    off = np.asarray(VcalN)[0, :, 1, :]
+    assert np.max(np.abs(off)) > 0
+    # joint = cal + blockdiag(obs)
+    VJ = np.asarray(VjointN).copy()
+    for i in range(3):
+        VJ[i, :, i, :] -= np.asarray(VobsN)[i]
+    assert np.allclose(VJ, np.asarray(VcalN), rtol=1e-9, atol=1e-12)
+
+    # stdev=0 returns zeros without propagation
+    _, Vc0 = mrcal.triangulate(qN, (m0, m1), q_calibration_stdev=0)
+    assert np.asarray(Vc0).shape == (3, 3, 3, 3)
+    assert np.all(np.asarray(Vc0) == 0)
 
 
 def test_make_tracks():

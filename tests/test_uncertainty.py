@@ -51,7 +51,10 @@ def test_projection_uncertainty_shape(calibrated):
 
 def test_projection_uncertainty_statistical(calibrated):
     """Empirical validation: re-solve Nsamples noisy replicas; the spread of
-    mean-pcam reprojections must match the predicted covariance."""
+    mean-pcam reprojections must match the predicted covariance.
+    Nsamples=100 with eigenvalue-ratio gates sized to the Wishart sampling
+    noise — a 1.5x variance error fails."""
+    from test_uncertainty_general import _noisy_replicas, _check_var
     scene, oi, model = calibrated
     p_cam = np.array([0.15, -0.1, 2.5])
 
@@ -59,50 +62,21 @@ def test_projection_uncertainty_statistical(calibrated):
         p_cam, model, method="mean-pcam",
         observed_pixel_uncertainty=SIGMA))
 
-    # baseline solution state
-    frames0 = np.asarray(oi["frames_rt_toref"]).copy()
-    intr0 = np.asarray(oi["intrinsics"]).copy()
-
-    # perfect observations at the SOLVED optimum (self-consistent baseline)
-    from mrcal_tpu.synthetic_data import make_perfect_observations
-    oi_perfect = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
-                  for k, v in oi.items()}
-    make_perfect_observations(oi_perfect)
-    obs_perfect = np.asarray(oi_perfect["observations_board"]).copy()
-
     # p_cam is tied to camera 0 (at the reference): express it in each
     # frame's coords under the BASELINE solution
+    frames0 = np.asarray(oi["frames_rt_toref"]).copy()
     p_frames = np.asarray(mrcal.transform_point_rt(
         frames0, p_cam, inverted=True))          # (Nframes, 3)
 
-    Nsamples = 30
+    Nsamples = 100
     qs = []
-    np.random.seed(99)
-    for s in range(Nsamples):
-        oi_s = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
-                for k, v in oi_perfect.items()}
-        oi_s["observations_board"] = obs_perfect + np.concatenate(
-            [np.random.randn(*obs_perfect[..., :2].shape) * SIGMA,
-             np.zeros(obs_perfect.shape[:-1] + (1,))], axis=-1)
-        mrcal.optimize(**oi_s)
+    for oi_s in _noisy_replicas(oi, Nsamples, seed=99):
         # mean-pcam reprojection through the perturbed solution
-        p_ref_s = np.asarray(mrcal.transform_point_rt(
-            np.asarray(oi_s["frames_rt_toref"]), p_frames))  # (Nframes,3)
-        p_ref_mean = p_ref_s.mean(axis=0)
-        q_s = np.asarray(mrcal.project(
-            p_ref_mean, oi["lensmodel"], np.asarray(oi_s["intrinsics"][0])))
-        qs.append(q_s)
-    qs = np.array(qs)
-    Var_emp = np.cov(qs.T)
-
-    # eigenvalue comparison with generous sampling tolerance
-    l_pred = np.linalg.eigvalsh(Var_pred)
-    l_emp = np.linalg.eigvalsh(Var_emp)
-    assert np.all(l_pred > 0)
-    for lp, le in zip(l_pred, l_emp):
-        assert 0.4 < le / lp < 2.5, (l_pred, l_emp)
-    # total variance within 50%
-    assert 0.5 < np.trace(Var_emp) / np.trace(Var_pred) < 2.0
+        p_ref_mean = np.asarray(mrcal.transform_point_rt(
+            np.asarray(oi_s["frames_rt_toref"]), p_frames)).mean(axis=0)
+        qs.append(np.asarray(mrcal.project(
+            p_ref_mean, oi["lensmodel"], np.asarray(oi_s["intrinsics"][0]))))
+    _check_var(Var_pred, np.cov(np.array(qs).T), Nsamples)
 
 
 def test_projection_diff_same_model(calibrated):
@@ -148,26 +122,16 @@ def test_projection_uncertainty_ccp(calibrated):
     from mrcal_tpu.synthetic_data import make_perfect_observations
     import mrcal_tpu.poseutils as pu
 
+    from test_uncertainty_general import _noisy_replicas, _check_var
     kw = normalize_inputs(oi)
     spec = spec_from_inputs(**kw)
     K = drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw)
     arrays = arrays_from_inputs(**kw)
     b0 = np.asarray(pack_params(params_from_arrays(arrays), spec))
 
-    oi_perfect = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
-                  for k, v in oi.items()}
-    make_perfect_observations(oi_perfect)
-    obs_perfect = np.asarray(oi_perfect["observations_board"]).copy()
-
+    Nsamples = 100
     qs = []
-    np.random.seed(77)
-    for s in range(20):
-        oi_s = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
-                for k, v in oi_perfect.items()}
-        oi_s["observations_board"] = obs_perfect + np.concatenate(
-            [np.random.randn(*obs_perfect[..., :2].shape) * SIGMA,
-             np.zeros(obs_perfect.shape[:-1] + (1,))], axis=-1)
-        mrcal.optimize(**oi_s)
+    for oi_s in _noisy_replicas(oi, Nsamples, seed=77):
         arrays_s = arrays_from_inputs(**normalize_inputs(oi_s))
         b_s = np.asarray(pack_params(params_from_arrays(arrays_s), spec))
         rt_cc = K @ (b_s - b0)
@@ -175,11 +139,7 @@ def test_projection_uncertainty_ccp(calibrated):
             pu.invert_rt(rt_cc), p_cam))
         qs.append(np.asarray(mrcal.project(
             p_star, oi["lensmodel"], np.asarray(oi_s["intrinsics"][0]))))
-    Var_emp = np.cov(np.array(qs).T)
-    l_emp = np.linalg.eigvalsh(Var_emp)
-    # generous bounds: 20 samples of a 2x2 covariance
-    assert 0.25 < np.trace(Var_emp) / np.trace(Var_ccp) < 4.0, \
-        (l_pred, l_emp)
+    _check_var(Var_ccp, np.cov(np.array(qs).T), Nsamples)
 
 
 def test_projection_uncertainty_rrp_jfp(calibrated):
@@ -244,3 +204,70 @@ def test_uncertainty_broadcasting(calibrated):
             p, model, method=method, what="worstdirection-stdev",
             observed_pixel_uncertainty=SIGMA))
         assert w.shape == (3,)
+
+
+def test_projection_uncertainty_splined_statistical():
+    from mrcal_tpu.synthetic_data import make_perfect_observations
+    """Splined-model scenario (regularization on, core locked): the
+    mean-pcam prediction must match the empirical spread over re-solved
+    noisy replicas.  Mirrors test-projection-uncertainty.py --model
+    splined."""
+    from test_uncertainty_general import _noisy_replicas, _check_var
+    MODEL = "LENSMODEL_SPLINED_STEREOGRAPHIC_order=3_Nx=9_Ny=7_fov_x_deg=120"
+    Nknots2 = 2 * 9 * 7
+    np.random.seed(3)
+    imagersize = np.array([800, 600])
+    intr_true = np.concatenate([
+        np.array([420., 419., (imagersize[0] - 1) / 2,
+                  (imagersize[1] - 1) / 2]),
+        np.random.randn(Nknots2) * 2e-3])
+    m = mrcal.cameramodel(intrinsics=(MODEL, intr_true),
+                          imagersize=imagersize, rt_cam_ref=np.zeros(6))
+    q, Rt_ref_boardref = mrcal.synthesize_board_observations(
+        [m], object_width_n=10, object_height_n=8, object_spacing=0.08,
+        calobject_warp=np.array([0.002, -0.001]),
+        rt_ref_boardcenter=np.array([0., 0., 0., 0., 0., 0.9]),
+        rt_ref_boardcenter__noiseradius=np.array(
+            [np.pi / 5, np.pi / 5, np.pi / 8, 0.3, 0.25, 0.3]),
+        Nframes=25, which="all-cameras-must-see-full-board")
+    frames_true = np.array([np.asarray(mrcal.rt_from_Rt(Rt))
+                            for Rt in Rt_ref_boardref])
+    obs = np.concatenate([q[:, 0], np.ones(q[:, 0].shape[:-1] + (1,))],
+                         axis=-1)
+    oi = dict(
+        do_optimize_intrinsics_core=False,
+        intrinsics=intr_true[None].copy(),
+        extrinsics_rt_fromref=np.zeros((0, 6)),
+        frames_rt_toref=frames_true.copy(),
+        observations_board=obs,
+        indices_frame_camintrinsics_camextrinsics=np.array(
+            [[f, 0, -1] for f in range(len(obs))], dtype=np.int32),
+        lensmodel=MODEL,
+        imagersizes=imagersize[None],
+        calobject_warp=np.array([0.002, -0.001]),
+        calibration_object_spacing=0.08,
+        do_apply_outlier_rejection=False,
+    )
+    np.random.seed(12)
+    make_perfect_observations(oi, observed_pixel_uncertainty=SIGMA)
+    mrcal.optimize(**oi)
+    model = mrcal.cameramodel(optimization_inputs=oi, icam_intrinsics=0)
+
+    p_cam = np.array([0.1, -0.05, 2.0])
+    Var_pred = np.asarray(mrcal.projection_uncertainty(
+        p_cam, model, method="mean-pcam",
+        observed_pixel_uncertainty=SIGMA))
+    assert Var_pred.shape == (2, 2)
+
+    frames0 = np.asarray(oi["frames_rt_toref"]).copy()
+    p_frames = np.asarray(mrcal.transform_point_rt(
+        frames0, p_cam, inverted=True))
+
+    Nsamples = 50
+    qs = []
+    for oi_s in _noisy_replicas(oi, Nsamples, seed=42):
+        p_ref_mean = np.asarray(mrcal.transform_point_rt(
+            np.asarray(oi_s["frames_rt_toref"]), p_frames)).mean(axis=0)
+        qs.append(np.asarray(mrcal.project(
+            p_ref_mean, oi["lensmodel"], np.asarray(oi_s["intrinsics"][0]))))
+    _check_var(Var_pred, np.cov(np.array(qs).T), Nsamples)

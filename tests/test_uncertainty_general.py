@@ -24,7 +24,7 @@ from test_calibration import make_scene, optimization_inputs_from_scene
 SIGMA = 0.3
 
 
-def _noisy_replicas(oi, Nsamples, seed):
+def _noisy_replicas(oi, Nsamples, seed, sigma=SIGMA):
     """Yield optimization_inputs replicas with fresh pixel noise on top of
     PERFECT observations of the solved optimum."""
     oi_perfect = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
@@ -36,7 +36,7 @@ def _noisy_replicas(oi, Nsamples, seed):
         oi_s = {k: (np.array(v) if isinstance(v, np.ndarray) else v)
                 for k, v in oi_perfect.items()}
         oi_s["observations_board"] = obs_perfect + np.concatenate(
-            [rng.normal(0.0, SIGMA, obs_perfect[..., :2].shape),
+            [rng.normal(0.0, sigma, obs_perfect[..., :2].shape),
              np.zeros(obs_perfect.shape[:-1] + (1,))], axis=-1)
         mrcal.optimize(**oi_s)
         yield oi_s
