@@ -84,6 +84,7 @@ from .calibration import (      # noqa: F401
     estimate_monocular_calobject_poses_Rt_tocam,
     estimate_joint_frame_poses,
     seed_stereographic,
+    traverse_sensor_links,
 )
 from .stereo import (           # noqa: F401
     rectified_resolution, rectified_system, rectification_maps,

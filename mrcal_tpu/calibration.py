@@ -258,6 +258,58 @@ def estimate_monocular_calobject_poses_Rt_tocam(indices_frame_camera,
 # multi-camera joint seeding (reference: calibration.py:925-1397)
 # ----------------------------------------------------------------------------
 
+def traverse_sensor_links(*, connectivity_matrix, callback_sensor_link):
+    """Find optimal paths from sensor 0 to every other sensor in a
+    connectivity graph (reference: mrcal.h:935-960 /
+    traverse-sensor-links.c:39-48; Python binding mrcal-pywrap.c
+    traverse_sensor_links).
+
+    connectivity_matrix: (Nsensors, Nsensors) symmetric array with a 0
+    diagonal; element (i,j) is the number of shared observations between
+    sensors i and j (0 = no connection).
+
+    callback_sensor_link(idx_to, idx_from) is invoked for each optimal
+    link, in the order the sensors are reached (Dijkstra finalization
+    order, minimizing hop count with total-shared-observations as the
+    tie-break: edge cost 65536 - Nshared).  Returning False from the
+    callback aborts the traversal and makes this function return False.
+
+    Disjoint sensors never get a callback — the caller must notice.
+    Returns True on success."""
+    import heapq
+    c = np.asarray(connectivity_matrix)
+    if c.ndim != 2 or c.shape[0] != c.shape[1]:
+        raise Exception("connectivity_matrix must be square (Nsensors x "
+                        f"Nsensors); got {c.shape}")
+    if np.any(c != c.T) or np.any(np.diag(c) != 0):
+        raise Exception("connectivity_matrix must be symmetric with a 0 "
+                        "diagonal")
+    N = c.shape[0]
+    INF = float("inf")
+    dist = [INF] * N
+    parent = [-1] * N
+    dist[0] = 0
+    pq = [(0, 0)]
+    done = [False] * N
+    while pq:
+        d, u = heapq.heappop(pq)
+        if done[u]:
+            continue
+        done[u] = True
+        if parent[u] >= 0:
+            if callback_sensor_link(u, parent[u]) is False:
+                return False
+        for v in range(N):
+            if v == u or c[u, v] == 0:
+                continue
+            cost = 65536 - int(c[u, v])
+            if d + cost < dist[v]:
+                dist[v] = d + cost
+                parent[v] = u
+                heapq.heappush(pq, (d + cost, v))
+    return True
+
+
 def _traverse_sensor_links(Ncameras, shared_frames):
     """Dijkstra over the camera-connectivity graph: cost of an edge is
     65536 - Nshared (reference: traverse-sensor-links.c:39-48).

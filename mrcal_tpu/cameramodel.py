@@ -83,6 +83,125 @@ class CameramodelParseException(Exception):
     pass
 
 
+def _parse_as_opencv_or_ros(modelstring):
+    """Parse an OpenCV / ROS camera model (yaml or json; the
+    camera_calibration_parsers file format or a sensor_msgs/CameraInfo
+    dump) into a .cameramodel-formatted string (reference:
+    cameramodel.py:895-1165).
+
+    Extrinsics: the yaml's R is R_leftrect_cam and P[:,3]/P[0,0] is the
+    scaled rectified translation, so the reference coordinate system is
+    the left-rectified camera."""
+    try:
+        import yaml
+        model_in = yaml.safe_load(modelstring)
+        if not isinstance(model_in, dict):
+            raise ValueError("not a dict")
+    except Exception as e_yaml:
+        try:
+            import json
+            model_in = json.loads(modelstring)
+            if not isinstance(model_in, dict):
+                raise ValueError("not a dict")
+        except Exception as e_json:
+            raise CameramodelParseException(
+                f"Couldn't parse yaml ({e_yaml}) or json ({e_json})")
+
+    def find(key_sequences, dtype, shape):
+        """Locate exactly one of the nested key sequences in model_in and
+        coerce to the requested dtype/shape (None shape = as-is)."""
+        def walk(seq, d, at=""):
+            for k in d.keys():
+                if isinstance(k, str) and k == seq[0]:
+                    if len(seq) == 1:
+                        if isinstance(d[k], dict):
+                            return None, None
+                        return d[k], f"{at}[{k!r}]"
+                    if not isinstance(d[k], dict):
+                        return None, None
+                    return walk(seq[1:], d[k], at=f"{at}[{k!r}]")
+            return None, None
+
+        matches = [walk(s, model_in) for s in key_sequences]
+        matches = [(m, at) for m, at in matches if m is not None]
+        if len(matches) != 1:
+            raise CameramodelParseException(
+                f"Need exactly one of {key_sequences}; found "
+                f"{len(matches)}")
+        m, at = matches[0]
+        try:
+            m = np.array(m, dtype=dtype)
+        except Exception:
+            raise CameramodelParseException(
+                f"Could not parse model{at} as {dtype}")
+        if shape is not None:
+            try:
+                m = m.reshape(shape)
+            except Exception:
+                raise CameramodelParseException(
+                    f"Could not reshape model{at} to {shape}")
+            if len(shape) == 0:
+                m = m.item()
+        return m, at
+
+    M, M_at = find((("camera_matrix", "data"), ("camera_matrix",), ("K",)),
+                   float, (3, 3))
+    if M[0, 1] != 0 or M[1, 0] != 0 or M[2, 0] != 0 or M[2, 1] != 0 \
+            or M[2, 2] != 1:
+        raise CameramodelParseException(
+            f"model {M_at} should be [fx 0 cx; 0 fy cy; 0 0 1]")
+    P, P_at = find((("projection_matrix", "data"), ("projection_matrix",),
+                    ("P",)), float, (3, 4))
+    if P[1, 3] != 0 or P[2, 3] != 0:
+        raise CameramodelParseException(
+            f"model {P_at} last column must be [x*fx,0,0]; have {P[:, 3]}")
+    try:
+        R, _ = find((("rotation", "data"), ("rotation",), ("R",)),
+                    float, (3, 3))
+    except CameramodelParseException:
+        R = np.eye(3)
+    # sometimes P=0 or R=0 appear; treat as identity
+    if not np.any(P):
+        P = P.copy()
+        P[:, :3] = np.eye(3)
+    if not np.any(R):
+        R = np.eye(3)
+
+    lensmodel_name, _ = find((("distortion_model",),), str, ())
+    map_lensmodel = dict(plumb_bob="LENSMODEL_OPENCV5",
+                         rational_polynomial="LENSMODEL_OPENCV8")
+    if lensmodel_name not in map_lensmodel:
+        if lensmodel_name == "equidistant":
+            raise CameramodelParseException(
+                '"equidistant" OpenCV model not supported yet')
+        raise CameramodelParseException(
+            f'Unknown OpenCV model "{lensmodel_name}". Known: '
+            f"{sorted(map_lensmodel)}")
+    lensmodel = map_lensmodel[lensmodel_name]
+
+    distortion, D_at = find(
+        (("distortion_coefficients", "data"), ("distortion_coefficients",),
+         ("D",)), float, None)
+    intrinsics = [float(x) for x in (M[0, 0], M[1, 1], M[0, 2], M[1, 2])] \
+        + [float(x) for x in np.ravel(distortion)]
+
+    W, _ = find((("image_width",), ("width",)), int, ())
+    H, _ = find((("image_height",), ("height",)), int, ())
+
+    if np.sum((R @ R.T - np.eye(3)) ** 2) > 1e-12:
+        raise CameramodelParseException(f"R must be a rotation; have {R}")
+    Rt_ref_cam = np.zeros((4, 3))
+    Rt_ref_cam[:3, :] = R
+    Rt_ref_cam[3, :] = -P[:, 3] / P[0, 0]
+    rt_cam_ref = np.asarray(poseutils.rt_from_Rt(
+        np.asarray(poseutils.invert_Rt(Rt_ref_cam))))
+
+    return repr(dict(lensmodel=lensmodel,
+                     intrinsics=intrinsics,
+                     imagersize=[int(W), int(H)],
+                     rt_cam_ref=[float(x) for x in rt_cam_ref]))
+
+
 class cameramodel:
     """A camera model: (lensmodel, intrinsics), imagersize, pose, and
     optionally the complete calibration optimization_inputs."""
@@ -100,10 +219,10 @@ class cameramodel:
             if isinstance(file_or_model, cameramodel):
                 self._copy_from(file_or_model)
             elif hasattr(file_or_model, "read"):
-                self._read_into_self(file_or_model.read())
+                self._tryread(file_or_model.read(), "file object")
             else:
                 with open(str(file_or_model), "r") as f:
-                    self._read_into_self(f.read())
+                    self._tryread(f.read(), f"file '{file_or_model}'")
             return
 
         if "optimization_inputs" in kwargs:
@@ -152,6 +271,33 @@ class cameramodel:
         self._icam_extrinsics = other._icam_extrinsics
 
     # ------------------------------------------------------------------ I/O
+    def _tryread(self, modelstring, what):
+        """Parse a model in ANY supported on-disk format: native
+        .cameramodel, OpenCV/ROS yaml/json (camera_calibration_parsers /
+        sensor_msgs/CameraInfo), or legacy JPL .cahvor — the same fallback
+        chain as the reference constructor (cameramodel.py:1166-1210)."""
+        errors = {}
+        try:
+            self._read_into_self(modelstring)
+            return
+        except CameramodelParseException as e:
+            errors["cameramodel"] = e
+        try:
+            self._read_into_self(_parse_as_opencv_or_ros(modelstring))
+            return
+        except CameramodelParseException as e:
+            errors["yaml_or_json"] = e
+        try:
+            from . import cahvor
+            import io as _io
+            model = cahvor.read(_io.StringIO(modelstring))
+            self._copy_from(model)
+            return
+        except Exception as e:
+            errors["cahvor"] = e
+        raise Exception(f"Couldn't parse {what}. Errors for each attempt: "
+                        f"{errors}")
+
     def _read_into_self(self, s):
         try:
             model = ast.literal_eval(s)

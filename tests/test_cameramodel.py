@@ -120,3 +120,144 @@ def test_read_transforms():
     R = t['ins_from_camera'][0][:3]
     # 90 deg rotation about +y: maps +z to +x
     assert np.allclose(R @ np.array([0., 0., 1.]), [1., 0., 0.], atol=1e-12)
+
+
+def test_read_opencv_ros_yaml(tmp_path):
+    """The constructor ingests OpenCV/ROS yaml directly (reference:
+    cameramodel.py:895-1165 parse_as_opencv_or_ros)."""
+    y = """
+image_width: 2448
+image_height: 2050
+camera_name: prosilica
+camera_matrix:
+  rows: 3
+  cols: 3
+  data: [4827.94, 0, 1223.5, 0, 4835.62, 1024.5, 0, 0, 1]
+distortion_model: plumb_bob
+distortion_coefficients:
+  rows: 1
+  cols: 5
+  data: [-0.41527, 0.31874, -0.00197, 0.00071, 0]
+rectification_matrix:
+  rows: 3
+  cols: 3
+  data: [1, 0, 0, 0, 1, 0, 0, 0, 1]
+projection_matrix:
+  rows: 3
+  cols: 4
+  data: [4827.94, 0, 1223.5, 0, 0, 4835.62, 1024.5, 0, 0, 0, 1, 0]
+"""
+    f = tmp_path / "opencv.yaml"
+    f.write_text(y)
+    m = mrcal.cameramodel(str(f))
+    lm, intr = m.intrinsics()
+    assert lm == "LENSMODEL_OPENCV5"
+    assert np.allclose(intr[:4], [4827.94, 4835.62, 1223.5, 1024.5])
+    assert np.allclose(intr[4:], [-0.41527, 0.31874, -0.00197, 0.00071, 0])
+    assert m.imagersize().tolist() == [2448, 2050]
+    assert np.allclose(m.rt_cam_ref(), 0)
+    # round-trip: write native, read back
+    out = tmp_path / "out.cameramodel"
+    m.write(str(out))
+    m2 = mrcal.cameramodel(str(out))
+    assert np.allclose(m2.intrinsics()[1], intr)
+
+
+def test_read_ros_camerainfo(tmp_path):
+    """sensor_msgs/CameraInfo rostopic-echo dump with K/D/R/P keys and a
+    rectification translation in P[:,3]."""
+    y = """
+height: 600
+width: 960
+distortion_model: "rational_polynomial"
+D: [1.5, 0.4, 0.1, -9.2e-05, 0.1, 1.9, 0.9, 0.2]
+K: [420.1, 0.1, 479.1, 0.1, 420.1, 295.1, 0.1, 0.1, 1.1]
+R: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+P: [600.0, 0.0, 480.0, -20.3, 0.0, 600.0, 300.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+"""
+    # K has nonzero off-diagonals -> must be rejected
+    f = tmp_path / "bad.yaml"
+    f.write_text(y)
+    import pytest
+    with pytest.raises(Exception):
+        mrcal.cameramodel(str(f))
+    y = y.replace("K: [420.1, 0.1, 479.1, 0.1, 420.1, 295.1, 0.1, 0.1, 1.1]",
+                  "K: [420.1, 0, 479.1, 0, 420.1, 295.1, 0, 0, 1]")
+    f2 = tmp_path / "good.yaml"
+    f2.write_text(y)
+    m = mrcal.cameramodel(str(f2))
+    lm, intr = m.intrinsics()
+    assert lm == "LENSMODEL_OPENCV8"
+    assert m.imagersize().tolist() == [960, 600]
+    # extrinsics: t_ref_cam = -P[:,3]/P[0,0]; R=identity so
+    # rt_cam_ref translation = +P[:,3]/P[0,0]
+    assert np.allclose(m.rt_cam_ref()[3:], [-20.3 / 600.0, 0, 0])
+
+
+def test_read_equidistant_rejected(tmp_path):
+    y = """
+width: 100
+height: 80
+distortion_model: equidistant
+D: [0.1, 0.01, 0.001, 0.0001]
+K: [100, 0, 50, 0, 100, 40, 0, 0, 1]
+P: [100, 0, 50, 0, 0, 100, 40, 0, 0, 0, 1, 0]
+"""
+    f = tmp_path / "equi.yaml"
+    f.write_text(y)
+    import pytest
+    with pytest.raises(Exception, match="equidistant"):
+        mrcal.cameramodel(str(f))
+
+
+def test_read_cahvor_via_constructor(tmp_path):
+    """The constructor fallback chain also reads .cahvor content."""
+    intr = np.array([800., 790., 320., 240., 0.01, -0.02, 0.03, 0.2, 0.01])
+    m = mrcal.cameramodel(intrinsics=("LENSMODEL_CAHVOR", intr),
+                          imagersize=(640, 480),
+                          rt_cam_ref=np.array([0.01, -0.02, 0.03,
+                                               0.1, 0.2, 0.3]))
+    f = tmp_path / "model.cahvor"
+    m.write(str(f))
+    m2 = mrcal.cameramodel(str(f))
+    lm2, intr2 = m2.intrinsics()
+    assert lm2 == "LENSMODEL_CAHVOR"
+    assert np.allclose(intr2, intr, atol=1e-6)
+    assert np.allclose(m2.rt_cam_ref(), m.rt_cam_ref(), atol=1e-6)
+
+
+def test_traverse_sensor_links():
+    """Docstring example from the reference traverse_sensor_links."""
+    connectivity_matrix = np.array(((0, 5, 0, 3, 0),
+                                    (5, 0, 2, 5, 0),
+                                    (0, 2, 0, 0, 5),
+                                    (3, 5, 0, 0, 0),
+                                    (0, 0, 5, 0, 0),), dtype=np.uint16)
+    links = []
+    ok = mrcal.traverse_sensor_links(
+        connectivity_matrix=connectivity_matrix,
+        callback_sensor_link=lambda idx_to, idx_from:
+            links.append((idx_from, idx_to)) or True)
+    assert ok
+    assert links == [(0, 1), (0, 3), (1, 2), (2, 4)]
+
+    # aborting callback
+    ok = mrcal.traverse_sensor_links(
+        connectivity_matrix=connectivity_matrix,
+        callback_sensor_link=lambda idx_to, idx_from: False)
+    assert not ok
+
+    # disjoint sensor never reported
+    c2 = np.zeros((3, 3), dtype=np.uint16)
+    c2[0, 1] = c2[1, 0] = 4
+    links = []
+    assert mrcal.traverse_sensor_links(
+        connectivity_matrix=c2,
+        callback_sensor_link=lambda t, f: links.append((f, t)) or True)
+    assert links == [(0, 1)]
+
+    import pytest
+    with pytest.raises(Exception, match="symmetric"):
+        mrcal.traverse_sensor_links(
+            connectivity_matrix=np.array([[0, 1], [2, 0]]),
+            callback_sensor_link=lambda t, f: True)
