@@ -605,6 +605,9 @@ def _effective_threshold(update_threshold, dtype, quiet=False):
     spin until max_iterations.  Clamp, and tell the caller unless this is
     the mixed-precision pipeline's internal f32 phase (whose f64 polish
     restores the full 1e-7 convergence; quiet=True there)."""
+    if update_threshold == 0.0:
+        # explicit 0 = no step-size termination at all (benchmark mode)
+        return 0.0
     if dtype == jnp.float32 and update_threshold < 1e-5:
         if not quiet:
             import warnings
@@ -642,6 +645,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     E = float(ne["E"])
     lam = lam0
     nu = 2.0
+    flats = 0
     niter = 0
     for it in range(max_iterations):
         niter = it + 1
@@ -662,9 +666,8 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
                   f"rho={rho:.3f} |db|={float(jnp.max(jnp.abs(db))):.2e}")
         step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
             if db.size else True
-        flat = False
         if E_new < E and np.isfinite(E_new):
-            flat = (E - E_new) <= ftol * E
+            flats = flats + 1 if (E - E_new) <= ftol * E else 0
             b, ne, E = b_new, ne_new, E_new
             lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3) \
                 if rho > 0 else lam / 2.0
@@ -673,10 +676,10 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         else:
             lam *= nu
             nu *= 2.0
-        # converged when the PROPOSED step is small (accepted or not), the
-        # accepted improvement is at the dtype's precision floor, or the
-        # trust region has collapsed
-        if step_small or flat or lam > 1e12:
+        # converged when the PROPOSED step is small (accepted or not),
+        # CONSECUTIVE accepted improvements are at the dtype's precision
+        # floor, or the trust region has collapsed
+        if step_small or flats >= 2 or lam > 1e12:
             break
     return b, E, niter, ne
 
@@ -835,15 +838,29 @@ def optimize(**kw):
     params = params_from_arrays(arrays)
     b = pack_params(params, spec)
 
-    mixed_precision = kw.get("mixed_precision")
-    if mixed_precision is None:
-        mixed_precision = jax.default_backend() != "cpu"
+    # precision: 'mixed' (f32 device phase + f64 polish; accelerator
+    # default), 'f64' (CPU default), or 'f32' (single-precision only — for
+    # benchmarks and uncertainty-tolerant bulk solves).  The legacy
+    # mixed_precision=True/False flag maps to 'mixed'/'f64'.
+    precision = kw.get("precision")
+    if precision is None:
+        mp = kw.get("mixed_precision")
+        if mp is not None:
+            precision = "mixed" if mp else "f64"
+        else:
+            precision = ("mixed" if jax.default_backend() != "cpu"
+                         else "f64")
+    if precision not in ("mixed", "f32", "f64"):
+        raise ValueError(f"unknown precision={precision!r}")
+    ftol = kw.get("ftol")
     # verbose needs per-iteration host prints -> host loop
     device_loop = bool(kw.get("device_loop", True)) and not verbose
 
     def solve(b, **solve_kw):
         solve_kw.setdefault("max_iterations", max_iterations)
         solve_kw.setdefault("update_threshold", update_threshold)
+        if ftol is not None:
+            solve_kw.setdefault("ftol", ftol)
         if device_loop:
             return lm_solve_device(spec, arrays, b, **solve_kw)
         return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
@@ -853,7 +870,10 @@ def optimize(**kw):
     Noutliers = 0
     Noutliers_tri = 0
     while True:
-        if mixed_precision:
+        if precision == "f32":
+            b32, E, niter, ne = solve(b, dtype=jnp.float32, quiet=True)
+            b = jnp.asarray(b32, jnp.float64)
+        elif precision == "mixed":
             # fast f32 phase to (approximate) convergence, f64 polish after.
             # The polish is also device-resident when device_loop is on: a
             # handful of f64 while_loop iterations from a near-converged
@@ -952,12 +972,12 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
         dt = b0.dtype
 
         def cond(state):
-            b, ne, lam, nu, it, done = state
+            b, ne, lam, nu, it, flats, done = state
             return (~done) & (it < max_iterations)
 
         def body(state):
             # carried `ne` = normal equations AT b: one NE eval/iteration
-            b, ne, lam, nu, it, done = state
+            b, ne, lam, nu, it, flats, done = state
             dc, df, dp = schur_step(ne, lam, spec)
             db = _delta_to_b(dc, df, dp, spec)
             g = _g_to_b(ne, spec)
@@ -985,17 +1005,22 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             lam = jnp.where(accept,
                             jnp.where(rho > 0, lam_down, lam / 2.0), lam_up)
             nu = jnp.where(accept, 2.0, nu * 2.0)
-            # ftol: an accepted step that improves E by less than ftol*E
-            # means we are grinding at the dtype's precision floor (f32
-            # cannot resolve further progress; f64 is at roundoff)
+            # ftol: CONSECUTIVE accepted steps improving E by less than
+            # ftol*E mean we are grinding at the dtype's precision floor
+            # (one flat step mid-solve is just an LM stall — a single-step
+            # test fires early and quits at the wrong optimum)
             flat = accept & ((E - E_try) <= ftol * E)
-            done = small | flat | (lam > 1e12)
-            return (b, ne, lam, nu, it + 1, done)
+            flats = jnp.where(flat, flats + 1,
+                              jnp.where(accept, 0, flats))
+            done = small | (flats >= 2) | (lam > 1e12)
+            return (b, ne, lam, nu, it + 1, flats, done)
 
         ne0 = ne_fn(b0, arrays)
         state0 = (b0, ne0, jnp.asarray(lam0, dt), jnp.asarray(2.0, dt),
-                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        b, ne, lam, nu, it, done = jax.lax.while_loop(cond, body, state0)
+                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                  jnp.asarray(False))
+        b, ne, lam, nu, it, flats, done = \
+            jax.lax.while_loop(cond, body, state0)
         return b, ne, it
 
     _DEVICE_SOLVER_CACHE[key] = solve
