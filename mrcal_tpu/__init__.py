@@ -86,6 +86,7 @@ from .calibration import (      # noqa: F401
     seed_stereographic,
     traverse_sensor_links,
 )
+from .stereo_sgm import stereo_matching_sgm     # noqa: F401
 from .stereo import (           # noqa: F401
     rectified_resolution, rectified_system, rectification_maps,
     stereo_range, stereo_unproject, match_feature, stereo_matching_ncc,
