@@ -57,12 +57,15 @@ _C_EST_CAL = 20.0 * 33000.0   # it/s * Nmeas for board problems
 _SPLINED_PENALTY = 2.0
 
 
-def _perturbed_oi(oi, seed=1, scale=1e-2):
+def _perturbed_oi(oi, seed=1, scale=1e-2, perturb_intrinsics=False):
     """Deep-copy optimization_inputs with the GEOMETRY arrays perturbed so
     the solve sustains many LM iterations.  Per-quantity scales keep the
     start inside the basin of attraction (a warp perturbation of 1e-2 m is
     10x the SCALE_CALOBJECT_WARP and traps multi-camera solves in local
-    minima; intrinsics start at the optimum like a real staged pipeline)."""
+    minima; the convergence runs start intrinsics at the optimum like a
+    real staged pipeline).  perturb_intrinsics=True additionally shifts
+    focal/center by ~0.2% — the SUSTAINED-throughput runs use it so the
+    solves run long enough to amortize dispatch."""
     import copy
     oi = copy.deepcopy(oi)
     rng = np.random.default_rng(seed)
@@ -74,6 +77,9 @@ def _perturbed_oi(oi, seed=1, scale=1e-2):
         if a is not None and np.asarray(a).size:
             a = np.asarray(a, dtype=np.float64)
             oi[k] = a + rng.normal(0.0, s, a.shape)
+    if perturb_intrinsics:
+        a = np.asarray(oi["intrinsics"], np.float64)
+        oi["intrinsics"] = a * (1 + rng.normal(0.0, 2e-3, a.shape))
     return oi
 
 
@@ -176,7 +182,8 @@ def _run_config(cfg):
     dt = 0.0
     seed = 100
     while niter_s < 600 and seed < 140:
-        oi_sus = _perturbed_oi(cfg["oi"], seed=seed)
+        oi_sus = _perturbed_oi(cfg["oi"], seed=seed,
+                               perturb_intrinsics=True)
         seed += 1
         t0 = time.perf_counter()
         stats_s = mrcal.optimize(**oi_sus, precision="f32",

@@ -645,7 +645,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     E = float(ne["E"])
     lam = lam0
     nu = 2.0
-    flats = 0
+    E_ref, it_ref = E, 0
     niter = 0
     for it in range(max_iterations):
         niter = it + 1
@@ -667,7 +667,6 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
             if db.size else True
         if E_new < E and np.isfinite(E_new):
-            flats = flats + 1 if (E - E_new) <= ftol * E else 0
             b, ne, E = b_new, ne_new, E_new
             lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3) \
                 if rho > 0 else lam / 2.0
@@ -676,10 +675,14 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         else:
             lam *= nu
             nu *= 2.0
-        # converged when the PROPOSED step is small (accepted or not),
-        # CONSECUTIVE accepted improvements are at the dtype's precision
-        # floor, or the trust region has collapsed
-        if step_small or flats >= 2 or lam > 1e12:
+        # converged when the PROPOSED step is small (accepted or not), a
+        # 16-iteration window passes with total relative improvement below
+        # 16*ftol (precision floor), or the trust region has collapsed
+        plateaued = False
+        if niter - it_ref >= 16:
+            plateaued = (E_ref - E) <= ftol * 16.0 * E
+            E_ref, it_ref = E, niter
+        if step_small or plateaued or lam > 1e12:
             break
     return b, E, niter, ne
 
@@ -878,16 +881,16 @@ def optimize(**kw):
             # The polish is also device-resident when device_loop is on: a
             # handful of f64 while_loop iterations from a near-converged
             # start (the f64 graph compiles once and lands in the
-            # persistent .jax_cache).  Starting the polish with a tiny
-            # trust-region damping (lam0=1e-10 instead of the cold 1e-4)
-            # lets it take full Gauss-Newton steps immediately: ~3-5
-            # iterations instead of ~50 spent re-shrinking lambda (f64 is
-            # ~9x slower on TPU, so this dominates the polish cost).
+            # persistent .jax_cache).  lam0 stays at the default 1e-4:
+            # packed-state Hessian diagonals are huge, so this is
+            # effectively undamped Gauss-Newton already, and a TINY lam0
+            # invites a reject-cascade (nu-compounding shoots lambda
+            # through the useful range in ~12 iterations) whenever the f32
+            # point isn't squarely in the quadratic basin.
             b32, _, niter32, _ = solve(b, dtype=jnp.float32, quiet=True)
             b = jnp.asarray(b32, jnp.float64)
-            b, E, niter, ne = solve(b, max_iterations=50,
-                                    update_threshold=update_threshold,
-                                    lam0=1e-10)
+            b, E, niter, ne = solve(b, max_iterations=100,
+                                    update_threshold=update_threshold)
             niter_polish += niter
             niter += niter32
         else:
@@ -972,12 +975,12 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
         dt = b0.dtype
 
         def cond(state):
-            b, ne, lam, nu, it, flats, done = state
+            b, ne, lam, nu, it, E_ref, it_ref, done = state
             return (~done) & (it < max_iterations)
 
         def body(state):
             # carried `ne` = normal equations AT b: one NE eval/iteration
-            b, ne, lam, nu, it, flats, done = state
+            b, ne, lam, nu, it, E_ref, it_ref, done = state
             dc, df, dp = schur_step(ne, lam, spec)
             db = _delta_to_b(dc, df, dp, spec)
             g = _g_to_b(ne, spec)
@@ -1005,21 +1008,23 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             lam = jnp.where(accept,
                             jnp.where(rho > 0, lam_down, lam / 2.0), lam_up)
             nu = jnp.where(accept, 2.0, nu * 2.0)
-            # ftol: CONSECUTIVE accepted steps improving E by less than
-            # ftol*E mean we are grinding at the dtype's precision floor
-            # (one flat step mid-solve is just an LM stall — a single-step
-            # test fires early and quits at the wrong optimum)
-            flat = accept & ((E - E_try) <= ftol * E)
-            flats = jnp.where(flat, flats + 1,
-                              jnp.where(accept, 0, flats))
-            done = small | (flats >= 2) | (lam > 1e12)
-            return (b, ne, lam, nu, it + 1, flats, done)
+            # ftol over a WINDOW: if 16 iterations pass with total relative
+            # E improvement below 16*ftol, we are grinding at the dtype's
+            # precision floor.  (Per-step or short-streak tests fire on
+            # transient LM stalls and quit at the wrong optimum.)
+            E_now = jnp.where(accept, E_try, E)
+            window = (it + 1 - it_ref) >= 16
+            plateaued = window & ((E_ref - E_now) <= ftol * 16.0 * E_now)
+            E_ref = jnp.where(window, E_now, E_ref)
+            it_ref = jnp.where(window, it + 1, it_ref)
+            done = small | plateaued | (lam > 1e12)
+            return (b, ne, lam, nu, it + 1, E_ref, it_ref, done)
 
         ne0 = ne_fn(b0, arrays)
         state0 = (b0, ne0, jnp.asarray(lam0, dt), jnp.asarray(2.0, dt),
-                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                  jnp.asarray(False))
-        b, ne, lam, nu, it, flats, done = \
+                  jnp.asarray(0, jnp.int32), ne0["E"],
+                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        b, ne, lam, nu, it, E_ref, it_ref, done = \
             jax.lax.while_loop(cond, body, state0)
         return b, ne, it
 
