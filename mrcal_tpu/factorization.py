@@ -4,9 +4,16 @@ CHOLMOD_factorization_solve_xt_JtJ_bt.docstring).
 
 The reference wraps cholmod_analyze/cholmod_factorize and exposes
 solve_xt_JtJ_bt (broadcasting over rows of bt) with a mode= argument for
-every cholmod_solve2 system.  Here the factorization is a dense Cholesky on
-the MXU — calibration-scale JtJ (a few thousand states) is comfortably
-dense territory — and all the solve modes are expressed through (L, P)."""
+every cholmod_solve2 system.  Here:
+
+  - calibration-scale problems (Nstate <= 4096) factor DENSE on the MXU —
+    a few-thousand-state Cholesky is microseconds there, and every
+    reference solve mode is expressed through (L, P=I);
+  - larger (SfM-scale) problems with a scipy-sparse J keep JtJ sparse and
+    factor with SuperLU (scipy.sparse.linalg.splu) — O(nnz) memory like
+    the reference's CHOLMOD, supporting the 'A' system (the one the
+    uncertainty machinery uses).
+"""
 
 import numpy as np
 import jax
@@ -14,15 +21,35 @@ import jax.numpy as jnp
 
 from . import _xla  # noqa: F401
 
+_DENSE_NSTATE_MAX = 4096
+
 
 class CHOLMOD_factorization:
-    """Factorize JtJ = L L^T once, solve many times.
+    """Factorize JtJ once, solve many times.
 
     Accepts J as a scipy sparse matrix (like the reference) or a dense
-    array.  Unlike CHOLMOD there is no fill-reducing permutation (dense
-    factorization): the P/Pt modes are identity."""
+    array.  Dense path: LL^T with no fill-reducing permutation (P/Pt are
+    identity).  Sparse path (Nstate > 4096, scipy-sparse J): SuperLU on
+    the sparse JtJ; only the 'A' solve system is available there."""
 
-    def __init__(self, J=None, JtJ=None):
+    def __init__(self, J=None, JtJ=None, *, force_dense=None):
+        self._lu = None
+        self._L = None
+        sparse_in = J is not None and hasattr(J, "tocsc")
+        n = (J.shape[1] if J is not None
+             else np.asarray(JtJ).shape[-1])
+        use_dense = (n <= _DENSE_NSTATE_MAX or not sparse_in) \
+            if force_dense is None else force_dense
+
+        if not use_dense:
+            import scipy.sparse
+            import scipy.sparse.linalg
+            Jc = J.tocsc()
+            JtJ_s = (Jc.T @ Jc).tocsc()
+            self._lu = scipy.sparse.linalg.splu(JtJ_s)
+            self._n = n
+            return
+
         if JtJ is None:
             if J is None:
                 raise Exception("need J or JtJ")
@@ -30,6 +57,7 @@ class CHOLMOD_factorization:
             JtJ = Jd.T @ Jd
         self._JtJ = jnp.asarray(JtJ)
         self._L = jnp.linalg.cholesky(self._JtJ)
+        self._n = self._L.shape[0]
         if not bool(jnp.all(jnp.isfinite(self._L))):
             raise Exception("JtJ is not positive definite")
 
@@ -37,10 +65,24 @@ class CHOLMOD_factorization:
         """Solve xt JtJ = bt for xt, broadcasting over leading dims of bt
         (reference modes: CHOLMOD_A/LDLt/LD/DLt/L/Lt/D/P/Pt).
 
-        With our LL^T factorization: D = I, LD==L, DLt==Lt, P==Pt==I."""
+        Dense path: D = I, LD==L, DLt==Lt, P==Pt==I.  Sparse path
+        supports 'A' only (SuperLU does not expose the split systems)."""
         if sys is not None:
             mode = sys
         mode = mode.replace("CHOLMOD_", "")
+
+        if self._lu is not None:
+            if mode not in ("A", "LDLt"):
+                raise NotImplementedError(
+                    f"sparse factorization supports mode='A' only; "
+                    f"got '{mode}'. Build with force_dense=True for the "
+                    "split L/Lt/D/P systems")
+            bt = np.asarray(bt, dtype=np.float64)
+            rhs = np.atleast_2d(bt)
+            lead = rhs.shape[:-1]
+            x = self._lu.solve(rhs.reshape(-1, self._n).T).T
+            return x.reshape(lead + (self._n,)).reshape(bt.shape)
+
         bt = jnp.asarray(bt)
         rhs = jnp.swapaxes(jnp.atleast_2d(bt), -1, -2)    # columns
         L = self._L
@@ -65,7 +107,11 @@ class CHOLMOD_factorization:
         return out.reshape(bt.shape)
 
     def rcond(self):
-        """Reciprocal condition-number estimate from the Cholesky diagonal
-        (reference: CHOLMOD_factorization_rcond)."""
+        """Reciprocal condition-number estimate (reference:
+        CHOLMOD_factorization_rcond).  Dense: from the Cholesky diagonal;
+        sparse: from the U diagonal of the LU factors."""
+        if self._lu is not None:
+            d = np.abs(self._lu.U.diagonal())
+            return float(d.min() / d.max())
         d = jnp.abs(jnp.diagonal(self._L)) ** 2
         return float(jnp.min(d) / jnp.max(d))

@@ -71,7 +71,6 @@ def _propagate_calibration_uncertainty(dF_dbpacked=None,
 
     if J is None:
         _, x, J = optimizer_callback(**kw)
-    Jd = np.asarray(J.todense()) if hasattr(J, "todense") else np.asarray(J)
 
     if observed_pixel_uncertainty is None:
         observed_pixel_uncertainty = \
@@ -79,14 +78,27 @@ def _propagate_calibration_uncertainty(dF_dbpacked=None,
 
     # observation rows (not regularization)
     Nobs_meas = spec.measurement_index_regularization0
-    Jobs = Jd[:Nobs_meas]
-    JtJ = Jd.T @ Jd
-    # inv(JtJ) Jobs_t Jobs inv(JtJ), computed via Cholesky solves
-    L = np.linalg.cholesky(JtJ)
+    if hasattr(J, "tocsr") and spec.Nstate > 4096:
+        # SfM scale: keep everything sparse — O(nnz) memory like the
+        # reference's CHOLMOD path (uncertainty.c / solve_xt_JtJ_bt)
+        from .factorization import CHOLMOD_factorization
+        Jcsr = J.tocsr()
+        Jobs = Jcsr[:Nobs_meas]
+        fac = CHOLMOD_factorization(Jcsr)
 
-    def solve_JtJ(B):
-        y = np.linalg.solve(L, B)
-        return np.linalg.solve(L.T, y)
+        def solve_JtJ(B):
+            return fac.solve_xt_JtJ_bt(np.asarray(B).T).T
+    else:
+        Jd = np.asarray(J.todense()) if hasattr(J, "todense") \
+            else np.asarray(J)
+        Jobs = Jd[:Nobs_meas]
+        JtJ = Jd.T @ Jd
+        # inv(JtJ) Jobs_t Jobs inv(JtJ), computed via Cholesky solves
+        L = np.linalg.cholesky(JtJ)
+
+        def solve_JtJ(B):
+            y = np.linalg.solve(L, B)
+            return np.linalg.solve(L.T, y)
 
     dF = np.asarray(dF_dbpacked)
     if dF.ndim == 1:
@@ -95,7 +107,7 @@ def _propagate_calibration_uncertainty(dF_dbpacked=None,
     n = dF.shape[-2]              # rows per covariance block (e.g. 2)
     dF2 = dF.reshape(-1, dF.shape[-1])
     A = solve_JtJ(dF2.T)                    # (Nstate, M*n)
-    M = Jobs @ A                            # (Nmeas_obs, M*n)
+    M = np.asarray(Jobs @ A)                # (Nmeas_obs, M*n)
     M = M.reshape(Nobs_meas, -1, n)         # (Nmeas_obs, M, n)
     Var = np.einsum("mia,mib->iab", M, M) * observed_pixel_uncertainty ** 2
     Var = Var.reshape(lead + (n, n)) if lead else Var[0]

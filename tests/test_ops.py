@@ -45,3 +45,30 @@ def test_apply_homography():
     out = np.asarray(mrcal_tpu.apply_homography(np.stack([H, Hp]),
                                                 np.array([1., 2])))
     assert out.shape == (2, 2)
+
+
+def test_cholmod_factorization_sparse_path():
+    """Nstate>4096 with a scipy-sparse J uses the O(nnz) SuperLU path;
+    mode-A solves must match the dense factorization."""
+    import scipy.sparse
+    from mrcal_tpu.factorization import CHOLMOD_factorization
+    rng = np.random.default_rng(0)
+    n, m = 4200, 9000
+    J = scipy.sparse.random(m, n, density=2e-4, random_state=1,
+                            format="csr")
+    # guarantee full column rank: add a scaled identity block
+    J = scipy.sparse.vstack(
+        [J, scipy.sparse.identity(n, format="csr") * 2.0]).tocsr()
+    fac_sparse = CHOLMOD_factorization(J)
+    fac_dense = CHOLMOD_factorization(J, force_dense=True)
+    assert fac_sparse._lu is not None          # sparse path taken
+    bt = rng.normal(size=(3, n))
+    xs = np.asarray(fac_sparse.solve_xt_JtJ_bt(bt))
+    xd = np.asarray(fac_dense.solve_xt_JtJ_bt(bt))
+    assert np.allclose(xs, xd, rtol=1e-8, atol=1e-10)
+    # rcond agrees within an order of magnitude (different estimates)
+    rs, rd = fac_sparse.rcond(), fac_dense.rcond()
+    assert 0.01 < rs / rd < 100
+    import pytest
+    with pytest.raises(NotImplementedError):
+        fac_sparse.solve_xt_JtJ_bt(bt, mode="L")
