@@ -15,6 +15,19 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS even when a site preload already initialized jax with
+# a different platform default (this environment's sitecustomize registers
+# the axon TPU backend and swallows the env var): tools and subprocess tests
+# that export JAX_PLATFORMS=cpu must actually get the CPU backend.  The
+# config update only works before the backend is touched; if it is too late
+# we leave things as they are.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 if not os.environ.get("MRCAL_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
