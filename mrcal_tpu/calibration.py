@@ -406,12 +406,16 @@ def estimate_joint_frame_poses(calobject_Rt_camera_frame,
                                object_width_n, object_height_n,
                                object_spacing):
     """Combine per-camera board-pose estimates into one pose per frame
-    (reference: calibration.py:1186)."""
+    (reference: calibration.py:1186).
+
+    extrinsics_Rt_fromref: (Ncameras-1, 4, 3) — camera 0 is the reference
+    (identity), like the reference API (Rt_cam_ref[icam-1])."""
     from .synthetic_data import ref_calibration_object
     Nframes = int(np.max(indices_frame_camera[:, 0])) + 1
     board = ref_calibration_object(object_width_n, object_height_n,
                                    object_spacing)
     p_board = board.reshape(-1, 3)
+    Rt_identity = np.asarray(poseutils.identity_Rt())
 
     Rt_ref_frame = np.zeros((Nframes, 4, 3))
     for f in range(Nframes):
@@ -421,8 +425,9 @@ def estimate_joint_frame_poses(calobject_Rt_camera_frame,
                 continue
             icam = int(indices_frame_camera[i, 1])
             Rt_cf = calobject_Rt_camera_frame[i]
-            Rt_ref_cam = np.asarray(poseutils.invert_Rt(
-                jnp.asarray(extrinsics_Rt_fromref[icam])))
+            Rt_ref_cam = (Rt_identity if icam == 0
+                          else np.asarray(poseutils.invert_Rt(
+                              jnp.asarray(extrinsics_Rt_fromref[icam - 1]))))
             Rt_ref_frame_i = np.asarray(poseutils.compose_Rt(
                 jnp.asarray(Rt_ref_cam), jnp.asarray(Rt_cf)))
             ps_ref.append(np.asarray(poseutils.transform_point_Rt(
@@ -431,7 +436,10 @@ def estimate_joint_frame_poses(calobject_Rt_camera_frame,
         Rt = np.asarray(align_procrustes_points_Rt01(
             jnp.asarray(ps_mean), jnp.asarray(p_board)))
         Rt_ref_frame[f] = Rt
-    return Rt_ref_frame
+    # rt (Nframes, 6), like the reference (calibration.py:1395 returns
+    # rt_ref_frame)
+    return np.array([np.asarray(poseutils.rt_from_Rt(jnp.asarray(Rt)))
+                     for Rt in Rt_ref_frame])
 
 
 def seed_stereographic(imagersizes, focal_estimate,
@@ -460,16 +468,13 @@ def seed_stereographic(imagersizes, focal_estimate,
     else:
         Rt_cam_ref = np.asarray(poseutils.identity_Rt())[None]
 
-    Rt_ref_frame = estimate_joint_frame_poses(
-        Rt_cf, Rt_cam_ref, indices_frame_camera, W, H, object_spacing)
+    frames_rt_toref = estimate_joint_frame_poses(
+        Rt_cf, Rt_cam_ref[1:], indices_frame_camera, W, H, object_spacing)
 
     # camera 0 is the reference: Ncameras-1 extrinsics entries
     extrinsics_rt_fromref = np.array(
         [np.asarray(poseutils.rt_from_Rt(jnp.asarray(Rt_cam_ref[i])))
          for i in range(1, Ncameras)]).reshape(-1, 6)
-    frames_rt_toref = np.array(
-        [np.asarray(poseutils.rt_from_Rt(jnp.asarray(Rt)))
-         for Rt in Rt_ref_frame])
     return intrinsics, extrinsics_rt_fromref, frames_rt_toref
 
 
