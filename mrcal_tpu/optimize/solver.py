@@ -1269,35 +1269,51 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
         ifr_p = padN(ifr_c, fill=0)
 
         Nip_all = cl.e0                       # total intrinsics state size
-        for i0_ in range(0, Npad, CH):
-            sl = slice(i0_, i0_ + CH)
+
+        def chunk_body(ci, acc):
+            Hcc, g_c, g_f, Hff, Cf = acc
+            i0_ = ci * CH
+
+            def dslice(a):
+                return jax.lax.dynamic_slice_in_dim(a, i0_, CH, 0)
+
+            Jw_c, Je_c, Jwp_c, Jf_c, r_c = (
+                dslice(Jw_p), dslice(Je_p), dslice(Jwp_p), dslice(Jf_p),
+                dslice(r_p))
+            wincols_c = dslice(wincols_p)
+            ice_cc = dslice(ice_p)
+            ifr_cc = dslice(ifr_p)
             # intrinsics block: (CH, 2, Nip_all)
-            oh_w = (wincols_p[sl][:, :, None] ==
+            oh_w = (wincols_c[:, :, None] ==
                     jnp.arange(Nip_all)[None, None, :]).astype(dt)
-            rows_i = jnp.einsum("nrw,nwk->nrk", Jw_p[sl], oh_w)
+            rows_i = jnp.einsum("nrw,nwk->nrk", Jw_c, oh_w)
             parts = [rows_i]
             if Nce:
-                oh_e = (jnp.maximum(ice_p[sl], 0)[:, None] ==
+                oh_e = (jnp.maximum(ice_cc, 0)[:, None] ==
                         jnp.arange(Nce)[None, :]).astype(dt)
-                rows_e = jnp.einsum("nri,nj->nrji", Je_p[sl],
+                rows_e = jnp.einsum("nri,nj->nrji", Je_c,
                                     oh_e).reshape(-1, 2, 6 * Nce)
                 parts.append(rows_e)
             else:
                 parts.append(jnp.zeros((CH, 2, cl.w0 - cl.e0), dt))
-            parts.append(Jwp_p[sl])
+            parts.append(Jwp_c)
             rows = jnp.concatenate(parts, axis=-1)        # (CH, 2, Nc)
             Hcc = Hcc + jnp.einsum("nrc,nrd->cd", rows, rows)
-            g_c = g_c + jnp.einsum("nrc,nr->c", rows, r_p[sl])
+            g_c = g_c + jnp.einsum("nrc,nr->c", rows, r_c)
             if Nf:
                 g_f = g_f + _seg(
-                    jnp.einsum("nri,nr->ni", Jf_p[sl], r_p[sl]),
-                    ifr_p[sl], num_segments=max(Nf, 1))
+                    jnp.einsum("nri,nr->ni", Jf_c, r_c),
+                    ifr_cc, num_segments=max(Nf, 1))
                 Hff = Hff + _seg(
-                    jnp.einsum("nri,nrj->nij", Jf_p[sl], Jf_p[sl]),
-                    ifr_p[sl], num_segments=max(Nf, 1))
+                    jnp.einsum("nri,nrj->nij", Jf_c, Jf_c),
+                    ifr_cc, num_segments=max(Nf, 1))
                 Cf = Cf + _seg(
-                    jnp.einsum("nri,nrc->nic", Jf_p[sl], rows),
-                    ifr_p[sl], num_segments=max(Nf, 1))
+                    jnp.einsum("nri,nrc->nic", Jf_c, rows),
+                    ifr_cc, num_segments=max(Nf, 1))
+            return (Hcc, g_c, g_f, Hff, Cf)
+
+        Hcc, g_c, g_f, Hff, Cf = jax.lax.fori_loop(
+            0, Npad // CH, chunk_body, (Hcc, g_c, g_f, Hff, Cf))
 
         x_board = r.reshape(Nobs, Ncorners, 2).reshape(-1)
 
