@@ -42,6 +42,8 @@ def test_show_projection_diff(solved):
     fig, difflen = mrcal.show_projection_diff(
         (m0, m0), gridn_width=16, hardcopy=f"{d}/diff.png")
     assert os.path.exists(f"{d}/diff.png")
+    # CONTENT: identical models diff to ~0 everywhere
+    assert float(np.max(np.asarray(difflen))) < 1e-6
 
 
 def test_show_projection_uncertainty(solved):
@@ -50,7 +52,14 @@ def test_show_projection_uncertainty(solved):
         m0, gridn_width=8, distance=2.0,
         observed_pixel_uncertainty=0.2, hardcopy=f"{d}/unc.png")
     assert os.path.exists(f"{d}/unc.png")
-    assert np.all(np.isfinite(np.asarray(unc)))
+    # CONTENT: the uncertainty grid is finite, positive, sub-pixel at the
+    # center of this well-constrained scene, and worst at the corners
+    unc = np.asarray(unc)
+    assert np.all(np.isfinite(unc)) and np.all(unc > 0)
+    hc, wc = unc.shape[0] // 2, unc.shape[1] // 2
+    assert unc[hc, wc] < 1.0
+    assert unc[hc, wc] <= np.max([unc[0, 0], unc[-1, -1],
+                                  unc[0, -1], unc[-1, 0]])
 
 
 def test_show_uncertainty_vs_distance(solved):
@@ -79,6 +88,12 @@ def test_show_residuals_suite(solved):
                                               hardcopy=f"{d}/rr.png")
     for f in ("rv", "rm", "rd", "rh", "rb", "rr"):
         assert os.path.exists(f"{d}/{f}.png")
+    # CONTENT: regional mean-residual magnitudes are ~ the noise level of
+    # the solved scene where data exists
+    mean = np.asarray(mean)
+    have = np.isfinite(mean)
+    assert have.sum() > 0
+    assert float(np.nanmax(mean)) < 2.0
 
 
 def test_show_splined_model_correction(tmp_path):
