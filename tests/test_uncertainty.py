@@ -79,6 +79,88 @@ def test_projection_uncertainty_statistical(calibrated):
     _check_var(Var_pred, np.cov(np.array(qs).T), Nsamples)
 
 
+def test_projection_uncertainty_flavor_matrix(calibrated):
+    """The reference test harness's EXPERIMENTAL empirical-reprojection
+    flavors (test-projection-uncertainty.py --reproject-perturbed
+    meanq / bestq / fit-boards-ref, reference :832-1090): each defines a
+    different way to reproject the query point through a perturbed solve.
+    All must produce an empirical spread consistent with the predicted
+    Var(q) in the vanilla (board-moving, cam0-at-reference) scenario.
+    One set of replicas feeds all flavors."""
+    from test_uncertainty_general import _noisy_replicas, _check_var
+    scene, oi, model = calibrated
+    p_cam = np.array([0.15, -0.1, 2.5])
+    q0 = np.asarray(mrcal.project(p_cam, oi["lensmodel"],
+                                  np.asarray(oi["intrinsics"][0])))
+
+    Var_pred = np.asarray(mrcal.projection_uncertainty(
+        p_cam, model, method="mean-pcam",
+        observed_pixel_uncertainty=SIGMA))
+
+    frames0 = np.asarray(oi["frames_rt_toref"]).copy()
+    Nframes = len(frames0)
+    # p_cam expressed in each frame's coords under the baseline solution
+    p_frames = np.asarray(mrcal.transform_point_rt(
+        frames0, p_cam, inverted=True))                    # (Nframes, 3)
+
+    # baseline board-corner cloud in ref coords (for fit-boards-ref)
+    Nh, Nw = np.asarray(oi["observations_board"]).shape[1:3]
+    obj0 = np.asarray(mrcal.ref_calibration_object(
+        Nw, Nh, oi["calibration_object_spacing"],
+        calobject_warp=np.asarray(oi["calobject_warp"])))  # (Nh, Nw, 3)
+    corners0 = np.asarray(mrcal.transform_point_rt(
+        frames0[:, None, None, :], obj0[None])).reshape(-1, 3)
+
+    Nsamples = 100
+    q_meanq = np.zeros((Nsamples, 2))
+    q_allframes = np.zeros((Nsamples, Nframes, 2))
+    q_fitboards = np.zeros((Nsamples, 2))
+    for s, oi_s in enumerate(_noisy_replicas(oi, Nsamples, seed=55)):
+        frames_s = np.asarray(oi_s["frames_rt_toref"])
+        intr_s = np.asarray(oi_s["intrinsics"][0])
+        # reproject through EVERY frame's perturbed pose
+        p_ref_all = np.asarray(mrcal.transform_point_rt(
+            frames_s, p_frames))                           # (Nframes, 3)
+        q_all = np.asarray(mrcal.project(
+            p_ref_all, oi["lensmodel"], intr_s))           # (Nframes, 2)
+        q_allframes[s] = q_all
+        q_meanq[s] = q_all.mean(axis=0)
+        # fit-boards-ref: procrustes-align the perturbed board-corner
+        # cloud to the baseline's, reproject through the implied Rt
+        obj_s = np.asarray(mrcal.ref_calibration_object(
+            Nw, Nh, oi["calibration_object_spacing"],
+            calobject_warp=np.asarray(oi_s["calobject_warp"])))
+        corners_s = np.asarray(mrcal.transform_point_rt(
+            frames_s[:, None, None, :], obj_s[None])).reshape(-1, 3)
+        Rt_refs_refb = np.asarray(
+            mrcal.align_procrustes_points_Rt01(corners_s, corners0))
+        p_ref_s = np.asarray(mrcal.transform_point_Rt(Rt_refs_refb, p_cam))
+        q_fitboards[s] = np.asarray(mrcal.project(
+            p_ref_s, oi["lensmodel"], intr_s))
+
+    # meanq is a second-order variation of mean-pcam (mean of projections
+    # vs projection of the mean): must match the prediction tightly
+    _check_var(Var_pred, np.cov(q_meanq.T), Nsamples)
+
+    # fit-boards-ref LOWER-BOUNDS the prediction: the 6-dof procrustes fit
+    # over ALL Nframes*Nh*Nw corners pins the perturbed reference frame far
+    # more tightly than the per-point frame average the prediction models,
+    # cancelling most of the common reference-drift component (measured
+    # ~4x smaller here; the reference marks this flavor obsolete,
+    # test-projection-uncertainty.py:1013)
+    r_fit = np.trace(np.cov(q_fitboards.T)) / np.trace(Var_pred)
+    assert 0.02 < r_fit < 1.2, r_fit
+
+    # bestq UPPER-BOUNDS: ONE frame chosen across all trials (the one
+    # whose reprojections stay closest to q0 overall, reference :955-965)
+    # carries that frame's independent pose noise on top of the common
+    # component (measured ~2.7x here)
+    i_best = np.argmin(
+        ((q_allframes - q0) ** 2).sum(axis=-1).sum(axis=0))
+    r_best = np.trace(np.cov(q_allframes[:, i_best].T)) / np.trace(Var_pred)
+    assert 1.0 < r_best < 8.0, r_best
+
+
 def test_projection_diff_same_model(calibrated):
     scene, oi, model = calibrated
     difflen, diff, q0, Rt10 = mrcal.projection_diff(
