@@ -211,22 +211,28 @@ def main():
 
     splined = ("LENSMODEL_SPLINED_STEREOGRAPHIC"
                "_order=3_Nx=30_Ny=18_fov_x_deg=150")
-    configs = [
-        _board_config("opencv8_1cam", 0.5, Ncameras=1, Nframes=84,
-                      model="LENSMODEL_OPENCV8", W=14, H=14),
-        _board_config("opencv8_4cam", 0.5, Ncameras=4, Nframes=84,
-                      model="LENSMODEL_OPENCV8", W=14, H=14),
-        _board_config("splined_30x18", 0.5, Ncameras=1, Nframes=84,
-                      model=splined, W=14, H=14,
-                      do_optimize_intrinsics_core=False),
-        _sfm_config(),
-        _board_config("rig16cam", 0.5, Ncameras=16, Nframes=40,
-                      model="LENSMODEL_OPENCV8", W=14, H=14),
+    # build lazily: MRCAL_TPU_BENCH_CONFIGS filters BEFORE the (costly)
+    # synthetic-scene construction
+    config_thunks = [
+        ("opencv8_1cam", lambda: _board_config(
+            "opencv8_1cam", 0.5, Ncameras=1, Nframes=84,
+            model="LENSMODEL_OPENCV8", W=14, H=14)),
+        ("opencv8_4cam", lambda: _board_config(
+            "opencv8_4cam", 0.5, Ncameras=4, Nframes=84,
+            model="LENSMODEL_OPENCV8", W=14, H=14)),
+        ("splined_30x18", lambda: _board_config(
+            "splined_30x18", 0.5, Ncameras=1, Nframes=84,
+            model=splined, W=14, H=14,
+            do_optimize_intrinsics_core=False)),
+        ("sfm_triangulated", _sfm_config),
+        ("rig16cam", lambda: _board_config(
+            "rig16cam", 0.5, Ncameras=16, Nframes=40,
+            model="LENSMODEL_OPENCV8", W=14, H=14)),
     ]
     only = os.environ.get("MRCAL_TPU_BENCH_CONFIGS")
-    if only:
-        names = set(only.split(","))
-        configs = [c for c in configs if c["name"] in names]
+    names = set(only.split(",")) if only else None
+    configs = [mk() for n, mk in config_thunks
+               if names is None or n in names]
 
     results = {}
     for cfg in configs:

@@ -108,6 +108,7 @@ from .image_transforms import ( # noqa: F401
 )
 from .image import load_image, save_image, apply_color_map  # noqa: F401
 from .cahvor import read_transforms  # noqa: F401
+from . import profiling  # noqa: F401
 from .visualization import (  # noqa: F401
     show_geometry,
     show_projection_diff,

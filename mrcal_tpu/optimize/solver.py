@@ -829,6 +829,8 @@ def optimize(**kw):
     software emulation on TPU v5e and tests/test_mixed_precision.py shows
     <1e-6 px parity with pure f64).  On CPU it defaults off.  Both are
     overridable: optimize(..., mixed_precision=..., device_loop=...)."""
+    from .. import profiling
+    _timer = profiling._SolveTimer()
     kw = _layout.normalize_inputs(kw)
     verbose = bool(kw.get("verbose", False))
     # iteration controls: the reference hardcodes these (mrcal.c:6296-6299);
@@ -845,9 +847,10 @@ def optimize(**kw):
     if np_obs_tri is not None and not len(np_obs_tri):
         np_obs_tri = None
 
-    arrays = arrays_from_inputs(**kw)
-    params = params_from_arrays(arrays)
-    b = pack_params(params, spec)
+    with _timer.phase("pack"):
+        arrays = arrays_from_inputs(**kw)
+        params = params_from_arrays(arrays)
+        b = pack_params(params, spec)
 
     # precision: 'mixed' (f32 device phase + f64 polish; accelerator
     # default), 'f64' (CPU default), or 'f32' (single-precision only — for
@@ -872,9 +875,11 @@ def optimize(**kw):
         solve_kw.setdefault("update_threshold", update_threshold)
         if ftol is not None:
             solve_kw.setdefault("ftol", ftol)
-        if device_loop:
-            return lm_solve_device(spec, arrays, b, **solve_kw)
-        return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
+        # MRCAL_TPU_PROFILE=<logdir> dumps an XLA device trace per solve
+        with profiling.trace():
+            if device_loop:
+                return lm_solve_device(spec, arrays, b, **solve_kw)
+            return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
 
     total_niter = 0
     niter_polish = 0
@@ -882,7 +887,8 @@ def optimize(**kw):
     Noutliers_tri = 0
     while True:
         if precision == "f32":
-            b32, E, niter, ne = solve(b, dtype=jnp.float32, quiet=True)
+            with _timer.phase("solve_f32"):
+                b32, E, niter, ne = solve(b, dtype=jnp.float32, quiet=True)
             b = jnp.asarray(b32, jnp.float64)
         elif precision == "mixed":
             # fast f32 phase to (approximate) convergence, f64 polish after.
@@ -895,14 +901,17 @@ def optimize(**kw):
             # invites a reject-cascade (nu-compounding shoots lambda
             # through the useful range in ~12 iterations) whenever the f32
             # point isn't squarely in the quadratic basin.
-            b32, _, niter32, _ = solve(b, dtype=jnp.float32, quiet=True)
+            with _timer.phase("solve_f32"):
+                b32, _, niter32, _ = solve(b, dtype=jnp.float32, quiet=True)
             b = jnp.asarray(b32, jnp.float64)
-            b, E, niter, ne = solve(b, max_iterations=300,
-                                    update_threshold=update_threshold)
+            with _timer.phase("solve_polish_f64"):
+                b, E, niter, ne = solve(b, max_iterations=300,
+                                        update_threshold=update_threshold)
             niter_polish += niter
             niter += niter32
         else:
-            b, E, niter, ne = solve(b)
+            with _timer.phase("solve_f64"):
+                b, E, niter, ne = solve(b)
         total_niter += niter
         if not (spec.selections.do_apply_outlier_rejection
                 and (spec.Nobservations_board or np_obs_tri is not None)):
@@ -910,13 +919,14 @@ def optimize(**kw):
         ext_now = np.asarray(
             split_packed_state(b, arrays, spec)["extrinsics"]) \
             if np_obs_tri is not None else None
-        found, Noutliers, Noutliers_tri = _mark_outliers(
-            spec, np_obs_board, ne["x_board"],
-            obs_tri_np=np_obs_tri, x_tri=ne["x_tri"],
-            px_tri=arrays.get("px_triangulated"),
-            idx_tri=(np.asarray(arrays["indices_triangulated"])
-                     if np_obs_tri is not None else None),
-            extrinsics=ext_now, verbose=verbose)
+        with _timer.phase("outlier_rejection"):
+            found, Noutliers, Noutliers_tri = _mark_outliers(
+                spec, np_obs_board, ne["x_board"],
+                obs_tri_np=np_obs_tri, x_tri=ne["x_tri"],
+                px_tri=arrays.get("px_triangulated"),
+                idx_tri=(np.asarray(arrays["indices_triangulated"])
+                         if np_obs_tri is not None else None),
+                extrinsics=ext_now, verbose=verbose)
         if not found:
             break
         if np_obs_board is not None:
@@ -955,6 +965,7 @@ def optimize(**kw):
         Noutliers_triangulated_point=Noutliers_tri,
         niterations=total_niter,
         niterations_polish=niter_polish,
+        time_s={k: round(v, 6) for k, v in _timer.t.items()},
         b_packed=np.asarray(b),
         x=x,
     )
