@@ -6,6 +6,8 @@ runs as dense/block operations in JAX — calibration problems have a few
 thousand states, well within dense-Cholesky territory on the MXU.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -368,9 +370,52 @@ def implied_Rt10__from_unprojections(q0, p0, v1,
                                            p0.reshape(-1, 3),
                                            weights.reshape(-1))
         return jnp.concatenate([R10, jnp.zeros((1, 3), p0.dtype)], axis=0)
-    return align_procrustes_points_Rt01(v1.reshape(-1, 3),
-                                        p0.reshape(-1, 3),
-                                        weights.reshape(-1))
+    # finite distance: a point-procrustes of unit v1 against range-d p0 is
+    # WRONG (the centroid shift absorbs the range).  Like the reference
+    # (model_analysis.py:217-246 residual_jacobian_rt + least_squares), fit
+    # rt minimizing the angular mismatch th2 = 2(1-cos) between
+    # transform(rt, p0) and v1, Huber-robustified at 5deg
+    return _fit_implied_rt_finite(p0.reshape(-1, 3), v1.reshape(-1, 3),
+                                  weights.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("niter",))
+def _fit_implied_rt_finite(p0, v1, weights, niter=40):
+    """Damped IRLS Gauss-Newton for the implied camera0->camera1 transform
+    at a finite distance (reference model_analysis.py:217-246,378: residual
+    x = w*th2 with th2 ~ angle^2 between transform_point_rt(rt,p0) and v1,
+    huber loss with f_scale=(5deg)^2, seeded near identity)."""
+    finite = (jnp.all(jnp.isfinite(p0), axis=-1)
+              & jnp.all(jnp.isfinite(v1), axis=-1)
+              & jnp.isfinite(weights))
+    w = jnp.where(finite, weights, 0.0)
+    p0 = jnp.nan_to_num(p0)
+    v1 = jnp.nan_to_num(v1)
+    f_scale = (5.0 * jnp.pi / 180.0) ** 2
+
+    def th2_of(rt):
+        p = poseutils.transform_point_rt(rt, p0)
+        mag = jnp.linalg.norm(p, axis=-1)
+        inner = jnp.sum(p * v1, axis=-1)
+        return 2.0 * (1.0 - inner / jnp.maximum(mag, 1e-30))
+
+    def resid(rt, w_eff):
+        return th2_of(rt) * w_eff
+
+    def body(i, rt):
+        # huber IRLS weight: downweight residuals beyond f_scale
+        th2 = th2_of(rt)
+        w_h = w * jnp.minimum(1.0, f_scale / jnp.maximum(jnp.abs(th2),
+                                                         1e-30)) ** 0.5
+        x = resid(rt, w_h)
+        J = jax.jacfwd(resid)(rt, w_h)
+        H = J.T @ J
+        H = H + 1e-9 * jnp.trace(H) * jnp.eye(6, dtype=H.dtype) \
+            + 1e-30 * jnp.eye(6, dtype=H.dtype)
+        return rt - jnp.linalg.solve(H, J.T @ x)
+
+    rt = jax.lax.fori_loop(0, niter, body, jnp.zeros(6, p0.dtype))
+    return poseutils.Rt_from_rt(rt)
 
 
 def projection_diff(models, *, gridn_width=60, gridn_height=None,

@@ -168,6 +168,20 @@ def test_projection_diff_same_model(calibrated):
     assert float(np.max(np.asarray(difflen))) < 1e-6
 
 
+def test_projection_diff_same_model_finite_distance(calibrated):
+    """Finite-distance diff of a model against itself must be ~0: the
+    implied-Rt fit is an ANGULAR least-squares, not a point procrustes of
+    unit vectors vs range-d points (which silently produced 1000+ px
+    diffs; regression guard)."""
+    scene, oi, model = calibrated
+    difflen, diff, q0, Rt10 = mrcal.projection_diff(
+        (model, model), gridn_width=20, distance=5.0)
+    assert float(np.median(np.asarray(difflen))) < 1e-3
+    # the implied transform is ~identity
+    assert np.allclose(np.asarray(Rt10)[:3], np.eye(3), atol=1e-4)
+    assert np.linalg.norm(np.asarray(Rt10)[3]) < 1e-3
+
+
 def test_projection_diff_shifted_intrinsics(calibrated):
     scene, oi, model = calibrated
     m2 = mrcal.cameramodel(model)
