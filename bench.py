@@ -113,19 +113,22 @@ def _sfm_config():
     pts = np.stack([np.random.uniform(-6, 6, Npoints),
                     np.random.uniform(-3, 3, Npoints),
                     np.random.uniform(5.0, 25.0, Npoints)], axis=-1)
+    # vectorized synthesis: ONE batched transform+project dispatch instead
+    # of Npoints*Ncameras host-loop calls (each ~25 ms over the tunnel)
+    p_cam = np.asarray(mrcal.transform_point_rt(
+        rt_true[:, None, :], pts[None, :, :]))         # (Ncam, Npts, 3)
+    q_all = np.asarray(mrcal.project(p_cam, model, intr[0]))
+    vis = ((q_all[..., 0] >= 0) & (q_all[..., 0] <= W - 1)
+           & (q_all[..., 1] >= 0) & (q_all[..., 1] <= H - 1)
+           & (p_cam[..., 2] > 0))                      # (Ncam, Npts)
+    nseen = vis.sum(axis=0)
     obs, idx = [], []
-    for ip in range(Npoints):
-        seen = []
-        for ic in range(Ncameras):
-            p_cam = np.asarray(mrcal.transform_point_rt(rt_true[ic], pts[ip]))
-            q = np.asarray(mrcal.project(p_cam, model, intr[0]))
-            if 0 <= q[0] <= W - 1 and 0 <= q[1] <= H - 1 and p_cam[2] > 0:
-                seen.append((ic, q))
-        if len(seen) >= 2:
-            for ic, q in seen:
-                obs.append([q[0] + np.random.randn() * 0.1,
-                            q[1] + np.random.randn() * 0.1, 1.0])
-                idx.append([ip, 0, ic - 1])
+    for ip in np.nonzero(nseen >= 2)[0]:
+        for ic in np.nonzero(vis[:, ip])[0]:
+            q = q_all[ic, ip]
+            obs.append([q[0] + np.random.randn() * 0.1,
+                        q[1] + np.random.randn() * 0.1, 1.0])
+            idx.append([ip, 0, ic - 1])
     oi = dict(
         intrinsics=intr,
         extrinsics_rt_fromref=rt_true[1:].copy(),
