@@ -420,34 +420,58 @@ def _fit_implied_rt_finite(p0, v1, weights, niter=40):
 
 def projection_diff(models, *, gridn_width=60, gridn_height=None,
                     distance=None, use_uncertainties=False,
+                    intrinsics_only=False,
                     focus_center=None, focus_radius=-1,
                     implied_Rt10=None):
     """Difference in projection between N models (reference:
-    model_analysis.py:1520).  Returns (difflen, diff, q0, implied_Rt10)."""
+    model_analysis.py:1520).  Returns (difflen, diff, q0, implied_Rt10).
+
+    len(models)==2: difflen/diff are the magnitude/vector of the q1-q0
+    mismatch after compensating the implied transform.  len(models)>2
+    (reference :1858-1914): each model i>0 is compared against model 0,
+    difflen = RMS over the pairs, diff is None, and the returned Rt10
+    stacks the (N-1) implied transforms.  intrinsics_only=True skips the
+    implied-transform fit (identity geometry)."""
     from .utils import sample_imager_unproject
-    if len(models) != 2:
-        raise NotImplementedError("projection_diff supports 2 models here")
+    if len(models) < 2:
+        raise Exception("projection_diff needs at least 2 models")
+    if len(models) > 2 and implied_Rt10 is not None:
+        raise Exception("implied_Rt10 may be given only with 2 models")
     W, H = models[0].imagersize()
     lens0, intr0 = models[0].intrinsics()
-    lens1, intr1 = models[1].intrinsics()
     v0, q0 = sample_imager_unproject(gridn_width, gridn_height, W, H,
                                      lens0, intr0, normalize=True)
     atinfinity = distance is None
     d = 1.0 if atinfinity else distance
     p0 = v0 * d
 
-    if implied_Rt10 is None:
-        v1 = unproject(q0, lens1, intr1, normalize=True)
-        implied_Rt10 = implied_Rt10__from_unprojections(
-            q0, p0, v1, atinfinity=atinfinity,
-            focus_center=focus_center,
-            focus_radius=(focus_radius if focus_radius >= 0 else 1e8))
+    def pair_Rt10_q1(m1, Rt10=None):
+        lens1, intr1 = m1.intrinsics()
+        if Rt10 is None:
+            if intrinsics_only:
+                Rt10 = jnp.concatenate(
+                    [jnp.eye(3), jnp.zeros((1, 3))], axis=0)
+            else:
+                v1 = unproject(q0, lens1, intr1, normalize=True)
+                Rt10 = implied_Rt10__from_unprojections(
+                    q0, p0, v1, atinfinity=atinfinity,
+                    focus_center=focus_center,
+                    focus_radius=(focus_radius if focus_radius >= 0
+                                  else 1e8))
+        q1 = project(poseutils.transform_point_Rt(Rt10, p0), lens1, intr1)
+        return Rt10, q1
 
-    p1 = poseutils.transform_point_Rt(implied_Rt10, p0)
-    q1 = project(p1, lens1, intr1)
-    diff = q1 - q0
-    difflen = jnp.linalg.norm(diff, axis=-1)
-    return difflen, diff, q0, implied_Rt10
+    if len(models) == 2:
+        Rt10, q1 = pair_Rt10_q1(models[1], implied_Rt10)
+        diff = q1 - q0
+        difflen = jnp.linalg.norm(diff, axis=-1)
+        return difflen, diff, q0, Rt10
+
+    pairs = [pair_Rt10_q1(m) for m in models[1:]]
+    Rt10 = jnp.stack([p[0] for p in pairs])          # (N-1, 4, 3)
+    norm2 = jnp.stack([jnp.sum((p[1] - q0) ** 2, axis=-1) for p in pairs])
+    difflen = jnp.sqrt(jnp.mean(norm2, axis=0))
+    return difflen, None, q0, Rt10
 
 
 def stereo_pair_diff(model_pairs, *, gridn_width=60, gridn_height=None,

@@ -73,15 +73,19 @@ def show_geometry(models_or_extrinsics_rt_fromref,
 
 def show_projection_diff(models, *, gridn_width=60, gridn_height=None,
                          distance=None, vectorfield=False,
+                         intrinsics_only=False,
                          cbmax=4, title=None, hardcopy=None, **kwargs):
     """Heatmap/vectorfield of the projection difference between models
-    (reference: visualization.py:1039)."""
+    (reference: visualization.py:1039).  len(models)>2 shows the RMS
+    heatmap vs model 0 (vectorfield needs exactly 2 models)."""
     from .model_analysis import projection_diff
     difflen, diff, q0, Rt10 = projection_diff(
         models, gridn_width=gridn_width, gridn_height=gridn_height,
-        distance=distance)
+        distance=distance, intrinsics_only=intrinsics_only)
     difflen = np.asarray(difflen)
     q0 = np.asarray(q0)
+    if vectorfield and diff is None:
+        raise Exception("vectorfield needs exactly 2 models")
     fig, ax = _new_axes(title or "Projection diff (pixels)")
     if vectorfield:
         diff = np.asarray(diff)

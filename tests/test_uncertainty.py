@@ -193,6 +193,31 @@ def test_projection_diff_shifted_intrinsics(calibrated):
         (model, m2), gridn_width=20, distance=None)
     # the implied rotation compensates most of the cx shift
     assert float(np.median(np.asarray(difflen))) < 2.0
+    # intrinsics_only skips the compensation: the raw cx shift shows
+    difflen_io, _, _, Rt_io = mrcal.projection_diff(
+        (model, m2), gridn_width=20, distance=None, intrinsics_only=True)
+    assert np.allclose(np.asarray(Rt_io)[:3], np.eye(3))
+    assert abs(float(np.median(np.asarray(difflen_io))) - 5.0) < 0.5
+
+
+def test_projection_diff_nmodels(calibrated):
+    """N>2 models: difflen is the RMS over pairwise-vs-model0 diffs, diff
+    is None, Rt10 stacks N-1 transforms (reference :1858-1914)."""
+    scene, oi, model = calibrated
+    m2 = mrcal.cameramodel(model)
+    lm, intr = m2.intrinsics()
+    i2 = np.array(intr)
+    i2[2] += 3.0
+    m2.intrinsics((lm, i2), imagersize=m2.imagersize())
+    difflen, diff, q0, Rt10 = mrcal.projection_diff(
+        (model, model, m2), gridn_width=16, distance=None)
+    assert diff is None
+    assert np.asarray(Rt10).shape == (2, 4, 3)
+    # pair (model,model) contributes 0; RMS = pairwise/sqrt(2)
+    d2, _, _, _ = mrcal.projection_diff((model, m2), gridn_width=16,
+                                        distance=None)
+    assert np.allclose(np.asarray(difflen),
+                       np.asarray(d2) / np.sqrt(2.0), atol=1e-6)
 
 
 def test_projection_uncertainty_ccp(calibrated):
