@@ -381,16 +381,24 @@ def implied_Rt10__from_unprojections(q0, p0, v1,
 
 @functools.partial(jax.jit, static_argnames=("niter",))
 def _fit_implied_rt_finite(p0, v1, weights, niter=40):
-    """Damped IRLS Gauss-Newton for the implied camera0->camera1 transform
+    """Levenberg-Marquardt fit of the implied camera0->camera1 transform
     at a finite distance (reference model_analysis.py:217-246,378: residual
     x = w*th2 with th2 ~ angle^2 between transform_point_rt(rt,p0) and v1,
-    huber loss with f_scale=(5deg)^2, seeded near identity)."""
+    huber loss with f_scale=(5deg)^2, seeded near identity).  Weights are
+    normalized to mean 1 and ratio-clipped; LM accept/reject damping keeps
+    the ill-conditioned directions (e.g. weights concentrated in a small
+    region leave the along-ray translation barely observable) stable."""
     finite = (jnp.all(jnp.isfinite(p0), axis=-1)
               & jnp.all(jnp.isfinite(v1), axis=-1)
               & jnp.isfinite(weights))
     w = jnp.where(finite, weights, 0.0)
     p0 = jnp.nan_to_num(p0)
     v1 = jnp.nan_to_num(v1)
+    # normalize + clip: only RELATIVE weights matter for the optimum, and
+    # extreme ratios make the normal equations numerically rank-deficient
+    nnz = jnp.maximum(jnp.sum(w > 0), 1)
+    w = w / jnp.maximum(jnp.sum(w) / nnz, 1e-300)
+    w = jnp.minimum(w, 1e3)
     f_scale = (5.0 * jnp.pi / 180.0) ** 2
 
     def th2_of(rt):
@@ -399,22 +407,36 @@ def _fit_implied_rt_finite(p0, v1, weights, niter=40):
         inner = jnp.sum(p * v1, axis=-1)
         return 2.0 * (1.0 - inner / jnp.maximum(mag, 1e-30))
 
-    def resid(rt, w_eff):
-        return th2_of(rt) * w_eff
-
-    def body(i, rt):
-        # huber IRLS weight: downweight residuals beyond f_scale
+    def resid(rt):
+        # huber IRLS form: w * th2 with influence capped beyond f_scale
         th2 = th2_of(rt)
         w_h = w * jnp.minimum(1.0, f_scale / jnp.maximum(jnp.abs(th2),
                                                          1e-30)) ** 0.5
-        x = resid(rt, w_h)
-        J = jax.jacfwd(resid)(rt, w_h)
-        H = J.T @ J
-        H = H + 1e-9 * jnp.trace(H) * jnp.eye(6, dtype=H.dtype) \
-            + 1e-30 * jnp.eye(6, dtype=H.dtype)
-        return rt - jnp.linalg.solve(H, J.T @ x)
+        return th2 * w_h
 
-    rt = jax.lax.fori_loop(0, niter, body, jnp.zeros(6, p0.dtype))
+    def cost(rt):
+        return jnp.sum(resid(rt) ** 2)
+
+    def body(i, state):
+        rt, lam, E = state
+        x = resid(rt)
+        J = jax.jacfwd(resid)(rt)
+        H = J.T @ J
+        damp = (lam * jnp.trace(H) / 6.0 + 1e-300) \
+            * jnp.eye(6, dtype=H.dtype)
+        rt_new = rt - jnp.linalg.solve(H + damp, J.T @ x)
+        rt_new = jnp.nan_to_num(rt_new)
+        E_new = cost(rt_new)
+        accept = E_new <= E
+        rt = jnp.where(accept, rt_new, rt)
+        E = jnp.where(accept, E_new, E)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-12), lam * 10.0)
+        return rt, lam, E
+
+    rt0 = jnp.zeros(6, p0.dtype)
+    rt, _, _ = jax.lax.fori_loop(0, niter, body,
+                                 (rt0, jnp.asarray(1e-6, p0.dtype),
+                                  cost(rt0)))
     return poseutils.Rt_from_rt(rt)
 
 
@@ -445,6 +467,27 @@ def projection_diff(models, *, gridn_width=60, gridn_height=None,
     d = 1.0 if atinfinity else distance
     p0 = v0 * d
 
+    def stdev_grid(m):
+        """worstdirection-stdev of each grid point's projection, used to
+        weight the implied-transform fit (reference :1818-1829: w =
+        (1/(unc0*unc1))^2).  Needs optimization_inputs in the model."""
+        if m.optimization_inputs() is None:
+            raise LookupError("no optimization_inputs")
+        v = unproject(q0, *m.intrinsics(), normalize=True)
+        return projection_uncertainty(
+            np.asarray(v) * (d if not atinfinity else 1.0), m,
+            atinfinity=atinfinity, what="worstdirection-stdev")
+
+    unc0 = None
+    if use_uncertainties and not intrinsics_only:
+        try:
+            unc0 = np.asarray(stdev_grid(models[0]))
+        except Exception as e:
+            import sys
+            print("WARNING: projection_diff() couldn't use uncertainties;"
+                  f" falling back on the unweighted fit: {e}",
+                  file=sys.stderr)
+
     def pair_Rt10_q1(m1, Rt10=None):
         lens1, intr1 = m1.intrinsics()
         if Rt10 is None:
@@ -452,9 +495,16 @@ def projection_diff(models, *, gridn_width=60, gridn_height=None,
                 Rt10 = jnp.concatenate(
                     [jnp.eye(3), jnp.zeros((1, 3))], axis=0)
             else:
+                weights = None
+                if unc0 is not None:
+                    try:
+                        w = 1.0 / (unc0 * np.asarray(stdev_grid(m1)))
+                        weights = jnp.asarray(w * w)
+                    except Exception:
+                        pass
                 v1 = unproject(q0, lens1, intr1, normalize=True)
                 Rt10 = implied_Rt10__from_unprojections(
-                    q0, p0, v1, atinfinity=atinfinity,
+                    q0, p0, v1, atinfinity=atinfinity, weights=weights,
                     focus_center=focus_center,
                     focus_radius=(focus_radius if focus_radius >= 0
                                   else 1e8))

@@ -200,6 +200,24 @@ def test_projection_diff_shifted_intrinsics(calibrated):
     assert abs(float(np.median(np.asarray(difflen_io))) - 5.0) < 0.5
 
 
+def test_projection_diff_use_uncertainties(calibrated):
+    """use_uncertainties=True weights the implied-transform fit by
+    1/(unc0*unc1)^2 (reference :1818-1829); a self-diff must stay ~0 and a
+    model without optimization_inputs must fall back with a warning."""
+    scene, oi, model = calibrated
+    difflen, _, _, _ = mrcal.projection_diff(
+        (model, model), gridn_width=12, distance=4.0,
+        use_uncertainties=True)
+    assert float(np.median(np.asarray(difflen))) < 1e-3
+    # no optimization_inputs -> unweighted fallback, still ~0
+    m_bare = mrcal.cameramodel(intrinsics=model.intrinsics(),
+                               imagersize=model.imagersize())
+    difflen, _, _, _ = mrcal.projection_diff(
+        (m_bare, m_bare), gridn_width=12, distance=4.0,
+        use_uncertainties=True)
+    assert float(np.median(np.asarray(difflen))) < 1e-3
+
+
 def test_projection_diff_nmodels(calibrated):
     """N>2 models: difflen is the RMS over pairwise-vs-model0 diffs, diff
     is None, Rt10 stacks N-1 transforms (reference :1858-1914)."""
