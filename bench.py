@@ -239,9 +239,18 @@ def main():
 
     results = {}
     for cfg in configs:
-        results[cfg["name"]] = _run_config(cfg)
+        # one config failing (compile timeout over the tunnel, OOM) must
+        # not kill the whole bench: record the error and keep going
+        try:
+            results[cfg["name"]] = _run_config(cfg)
+        except Exception as e:
+            _log(f"[{cfg['name']}] FAILED: {type(e).__name__}: {e}")
+            results[cfg["name"]] = dict(error=f"{type(e).__name__}: {e}")
 
-    head = results.get("opencv8_1cam", next(iter(results.values())))
+    ok = {k: v for k, v in results.items() if "error" not in v}
+    head = ok.get("opencv8_1cam",
+                  next(iter(ok.values())) if ok else
+                  dict(value=0.0, vs_baseline=0.0))
     print(json.dumps({
         "metric": "lm_iterations_per_s__opencv8_84frames_14x14",
         "value": head["value"],
