@@ -209,43 +209,97 @@ def _run_config(cfg):
                 nstate=int(spec.Nstate), rms_px=round(rms, 4))
 
 
-def main():
-    import mrcal_tpu  # noqa: F401  (enables x64, compile cache)
+_SPLINED_MODEL = ("LENSMODEL_SPLINED_STEREOGRAPHIC"
+                  "_order=3_Nx=30_Ny=18_fov_x_deg=150")
 
-    splined = ("LENSMODEL_SPLINED_STEREOGRAPHIC"
-               "_order=3_Nx=30_Ny=18_fov_x_deg=150")
-    # build lazily: MRCAL_TPU_BENCH_CONFIGS filters BEFORE the (costly)
-    # synthetic-scene construction
-    config_thunks = [
-        ("opencv8_1cam", lambda: _board_config(
-            "opencv8_1cam", 0.5, Ncameras=1, Nframes=84,
-            model="LENSMODEL_OPENCV8", W=14, H=14)),
-        ("opencv8_4cam", lambda: _board_config(
-            "opencv8_4cam", 0.5, Ncameras=4, Nframes=84,
-            model="LENSMODEL_OPENCV8", W=14, H=14)),
-        ("splined_30x18", lambda: _board_config(
-            "splined_30x18", 0.5, Ncameras=1, Nframes=84,
-            model=splined, W=14, H=14,
-            do_optimize_intrinsics_core=False)),
-        ("sfm_triangulated", _sfm_config),
-        ("rig16cam", lambda: _board_config(
-            "rig16cam", 0.5, Ncameras=16, Nframes=40,
-            model="LENSMODEL_OPENCV8", W=14, H=14)),
-    ]
+_CONFIG_THUNKS = [
+    ("opencv8_1cam", lambda: _board_config(
+        "opencv8_1cam", 0.5, Ncameras=1, Nframes=84,
+        model="LENSMODEL_OPENCV8", W=14, H=14)),
+    ("opencv8_4cam", lambda: _board_config(
+        "opencv8_4cam", 0.5, Ncameras=4, Nframes=84,
+        model="LENSMODEL_OPENCV8", W=14, H=14)),
+    ("splined_30x18", lambda: _board_config(
+        "splined_30x18", 0.5, Ncameras=1, Nframes=84,
+        model=_SPLINED_MODEL, W=14, H=14,
+        do_optimize_intrinsics_core=False)),
+    ("sfm_triangulated", _sfm_config),
+    ("rig16cam", lambda: _board_config(
+        "rig16cam", 0.5, Ncameras=16, Nframes=40,
+        model="LENSMODEL_OPENCV8", W=14, H=14)),
+]
+
+# generous per-config wall-clock: a COLD compile of the full while_loop
+# solver graph through the remote helper takes ~6+ min; warm-cache runs
+# are far faster (.jax_cache is persistent)
+_CONFIG_TIMEOUT_S = int(os.environ.get("MRCAL_TPU_BENCH_TIMEOUT", 3000))
+
+
+def _run_one_config_subprocess(name):
+    """Run a single named config in a CHILD python process.  A TPU worker
+    crash (kernel fault) takes the whole jax client down with it and the
+    dead worker poisons every subsequent dispatch from that process — so
+    each config gets its own process and therefore its own fresh worker
+    connection.  Returns the parsed per-config result dict."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        out_path = f.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--config", name, "--out", out_path],
+            timeout=_CONFIG_TIMEOUT_S, cwd=os.path.dirname(
+                os.path.abspath(__file__)) or ".")
+        if proc.returncode != 0:
+            return dict(error=f"bench subprocess exited rc={proc.returncode}")
+        with open(out_path) as f:
+            return json.load(f)
+    except subprocess.TimeoutExpired:
+        return dict(error=f"timeout after {_CONFIG_TIMEOUT_S}s")
+    except Exception as e:
+        return dict(error=f"{type(e).__name__}: {e}")
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def _child_main(name, out_path):
+    """--config mode: build + run ONE config, write its JSON to out_path.
+    Config construction runs inside the try as well: scene synthesis
+    dispatches device calls and can itself fail."""
+    import mrcal_tpu  # noqa: F401  (enables x64, compile cache)
+    try:
+        mk = dict(_CONFIG_THUNKS)[name]
+        result = _run_config(mk())
+    except Exception as e:
+        _log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+        result = dict(error=f"{type(e).__name__}: {e}")
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def main():
+    if "--config" in sys.argv:
+        i = sys.argv.index("--config")
+        name = sys.argv[i + 1]
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        _child_main(name, out_path)
+        return
+
     only = os.environ.get("MRCAL_TPU_BENCH_CONFIGS")
     names = set(only.split(",")) if only else None
-    configs = [mk() for n, mk in config_thunks
-               if names is None or n in names]
 
     results = {}
-    for cfg in configs:
-        # one config failing (compile timeout over the tunnel, OOM) must
-        # not kill the whole bench: record the error and keep going
-        try:
-            results[cfg["name"]] = _run_config(cfg)
-        except Exception as e:
-            _log(f"[{cfg['name']}] FAILED: {type(e).__name__}: {e}")
-            results[cfg["name"]] = dict(error=f"{type(e).__name__}: {e}")
+    for name, _ in _CONFIG_THUNKS:
+        if names is not None and name not in names:
+            continue
+        results[name] = _run_one_config_subprocess(name)
+        if "error" in results[name]:
+            _log(f"[{name}] FAILED: {results[name]['error']}")
 
     ok = {k: v for k, v in results.items() if "error" not in v}
     head = ok.get("opencv8_1cam",

@@ -28,6 +28,7 @@ from .projections import (      # noqa: F401
 )
 from .optimize import (         # noqa: F401
     optimize, optimizer_callback,
+    drt_cross_reprojection__dbpacked,
     num_states, num_measurements,
     num_states_intrinsics, num_states_extrinsics, num_states_frames,
     num_states_points, num_states_calobject_warp,

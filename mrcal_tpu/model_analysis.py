@@ -380,7 +380,7 @@ def implied_Rt10__from_unprojections(q0, p0, v1,
 
 
 @functools.partial(jax.jit, static_argnames=("niter",))
-def _fit_implied_rt_finite(p0, v1, weights, niter=40):
+def _fit_implied_rt_finite(p0, v1, weights, niter=200):
     """Levenberg-Marquardt fit of the implied camera0->camera1 transform
     at a finite distance (reference model_analysis.py:217-246,378: residual
     x = w*th2 with th2 ~ angle^2 between transform_point_rt(rt,p0) and v1,
@@ -408,35 +408,49 @@ def _fit_implied_rt_finite(p0, v1, weights, niter=40):
         return 2.0 * (1.0 - inner / jnp.maximum(mag, 1e-30))
 
     def resid(rt):
-        # huber IRLS form: w * th2 with influence capped beyond f_scale
+        # huber IRLS form: w * th2 with influence capped beyond f_scale.
+        # stop_gradient on the weight: the IRLS linearization holds the
+        # weight FIXED per iteration (scipy least_squares loss='huber'
+        # semantics); differentiating through it biases the GN step near
+        # the huber transition
         th2 = th2_of(rt)
         w_h = w * jnp.minimum(1.0, f_scale / jnp.maximum(jnp.abs(th2),
                                                          1e-30)) ** 0.5
-        return th2 * w_h
+        return th2 * jax.lax.stop_gradient(w_h)
 
     def cost(rt):
         return jnp.sum(resid(rt) ** 2)
 
-    def body(i, state):
-        rt, lam, E = state
+    def body(state):
+        rt, lam, E, it, stalled = state
         x = resid(rt)
         J = jax.jacfwd(resid)(rt)
         H = J.T @ J
         damp = (lam * jnp.trace(H) / 6.0 + 1e-300) \
             * jnp.eye(6, dtype=H.dtype)
-        rt_new = rt - jnp.linalg.solve(H + damp, J.T @ x)
-        rt_new = jnp.nan_to_num(rt_new)
+        step = jnp.linalg.solve(H + damp, J.T @ x)
+        rt_new = jnp.nan_to_num(rt - step)
         E_new = cost(rt_new)
         accept = E_new <= E
+        # stagnation: accepted relative improvement below ~gtol AND a tiny
+        # step (reference iterates scipy least_squares to gtol; a fixed
+        # iteration count under-converges large genuine relative poses)
+        rel_impr = (E - E_new) / jnp.maximum(E, 1e-300)
+        stalled = accept & (rel_impr < 1e-12) & \
+            (jnp.max(jnp.abs(step)) < 1e-10)
         rt = jnp.where(accept, rt_new, rt)
         E = jnp.where(accept, E_new, E)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-12), lam * 10.0)
-        return rt, lam, E
+        return rt, lam, E, it + 1, stalled
+
+    def cond(state):
+        rt, lam, E, it, stalled = state
+        return (~stalled) & (it < niter) & (lam < 1e8)
 
     rt0 = jnp.zeros(6, p0.dtype)
-    rt, _, _ = jax.lax.fori_loop(0, niter, body,
-                                 (rt0, jnp.asarray(1e-6, p0.dtype),
-                                  cost(rt0)))
+    rt, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (rt0, jnp.asarray(1e-6, p0.dtype), cost(rt0),
+                     jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return poseutils.Rt_from_rt(rt)
 
 
@@ -500,8 +514,12 @@ def projection_diff(models, *, gridn_width=60, gridn_height=None,
                     try:
                         w = 1.0 / (unc0 * np.asarray(stdev_grid(m1)))
                         weights = jnp.asarray(w * w)
-                    except Exception:
-                        pass
+                    except Exception as e:
+                        import sys
+                        print("WARNING: projection_diff() couldn't use "
+                              "uncertainties for this pair; falling back "
+                              f"on the unweighted fit: {e}",
+                              file=sys.stderr)
                 v1 = unproject(q0, lens1, intr1, normalize=True)
                 Rt10 = implied_Rt10__from_unprojections(
                     q0, p0, v1, atinfinity=atinfinity, weights=weights,

@@ -28,5 +28,8 @@ from .layout import (  # noqa: F401
     pack_state, unpack_state,
     corresponding_icam_extrinsics,
 )
-from .residuals import optimizer_callback  # noqa: F401
+from .residuals import (  # noqa: F401
+    optimizer_callback,
+    drt_cross_reprojection__dbpacked,
+)
 from .solver import optimize  # noqa: F401

@@ -370,13 +370,284 @@ def residuals_from_packed(b, arrays, spec: ProblemSpec):
 # public optimizer_callback
 # ----------------------------------------------------------------------------
 
+def _sparse_jacobian(b, arrays, spec: ProblemSpec):
+    """The packed-coordinate measurement Jacobian as a scipy CSR matrix,
+    assembled from PER-OBSERVATION AD block Jacobians plus the state
+    layout's column indices — the dense (Nmeasurements, Nstate) matrix is
+    never materialized.  Mirrors the reference's CSR block structure
+    (_mrcal_num_j_nonzero, mrcal.c:743): each measurement row carries only
+    its own observation's intrinsics / extrinsics / frame-or-point / warp
+    blocks; splined rows carry only the (order+1)^2-knot window
+    (gradient_sparse_meta_t, mrcal.c:2298-2303)."""
+    import scipy.sparse
+    from .solver import (_make_board_fn, _make_point_fn, _CLayout,
+                         _intr_scales, _reg_per_camera, _merge_intrinsics,
+                         _splined_fast_path_ok,
+                         _EXT_SCALES, _FRAME_SCALES, _WARP_SCALES,
+                         _POINT_SCALES)
+    s = spec.selections
+    dt = b.dtype
+    params = split_packed_state(b, arrays, spec)
+    cl = _CLayout(spec)
+    Nip = spec.Nintrinsics_state_per_cam
+    Npv = spec.Npoints_variable
+
+    # packed per-camera blocks (same prep as the NE builders)
+    intr_full = params["intrinsics"]
+    iscales = jnp.asarray(_intr_scales(spec), dt)
+    cols_i = []
+    if spec.Ncore_state:
+        cols_i.append(intr_full[..., :4])
+    if s.do_optimize_intrinsics_distortions:
+        cols_i.append(intr_full[..., spec.Ncore:])
+    intr_packed = (jnp.concatenate(cols_i, axis=-1) / iscales if cols_i
+                   else jnp.zeros(intr_full.shape[:-1] + (0,), dt))
+    ext_packed = params["extrinsics"] / jnp.asarray(_EXT_SCALES, dt)
+    ext_pad = jnp.concatenate([jnp.zeros((1, 6), dt), ext_packed], axis=0)
+    frames_packed = params["frames"] / jnp.asarray(_FRAME_SCALES, dt)
+    warp_packed = params["calobject_warp"] / jnp.asarray(_WARP_SCALES, dt)
+    points_packed = params["points"] / jnp.asarray(_POINT_SCALES, dt)
+
+    i_intr0 = spec.state_index_intrinsics0
+    i_ext0 = spec.state_index_extrinsics0
+    i_fr0 = spec.state_index_frames0
+    i_pt0 = spec.state_index_points0
+    i_w0 = spec.state_index_calobject_warp0
+
+    ROWS, COLS, VALS = [], [], []
+
+    def emit(rows, cols, vals):
+        """rows/cols/vals broadcastable numpy arrays -> COO triplets."""
+        rows, cols, vals = np.broadcast_arrays(rows, cols, vals)
+        ROWS.append(rows.reshape(-1))
+        COLS.append(cols.reshape(-1))
+        VALS.append(vals.reshape(-1))
+
+    # ---------------- board observations ----------------
+    if spec.Nobservations_board:
+        idx = np.asarray(arrays["indices_board"])
+        ifr, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+        Nobs = idx.shape[0]
+        Hn = spec.calibration_object_height_n
+        Wn = spec.calibration_object_width_n
+        M = 2 * Hn * Wn
+
+        if _splined_fast_path_ok(spec, None):
+            # corner-level spline-window Jacobians: the intrinsics block of
+            # each corner row is the 2-surface (order+1)^2 window only —
+            # true reference sparsity, and no cross-corner jacrev
+            # intermediate (the board-level jacrev of a splined observation
+            # materializes GBs)
+            Jpose, Jwin, wincols = _splined_corner_jacobians(
+                spec, arrays, params, intr_packed, ext_pad, frames_packed,
+                warp_packed)
+            N = Nobs * Hn * Wn
+            ifr_c = np.repeat(ifr, Hn * Wn)
+            ice_c = np.repeat(ice, Hn * Wn)
+            rows_c = (np.arange(N)[:, None, None] * 2 +
+                      np.arange(2)[None, :, None])        # (N,2,1)
+            emit(rows_c, np.asarray(wincols)[:, None, :] + i_intr0,
+                 np.asarray(Jwin))
+            if s.do_optimize_extrinsics:
+                have = ice_c >= 0
+                cole = i_ext0 + 6 * np.maximum(ice_c, 0)
+                emit(rows_c[have], cole[have, None, None]
+                     + np.arange(6)[None, None, :],
+                     np.asarray(Jpose["ext"])[have])
+            if s.do_optimize_frames:
+                colf = i_fr0 + 6 * ifr_c
+                emit(rows_c, colf[:, None, None]
+                     + np.arange(6)[None, None, :],
+                     np.asarray(Jpose["frame"]))
+            if spec.has_calobject_warp:
+                emit(rows_c, i_w0 + np.arange(2)[None, None, :],
+                     np.asarray(Jpose["warp"]))
+        else:
+            board_fn = _make_board_fn(spec)
+            blocks = dict(
+                intr=intr_packed[ici],
+                ext=ext_pad[ice + 1],
+                frame=frames_packed[ifr],
+                warp=jnp.broadcast_to(warp_packed, (Nobs, 2)))
+            obs = arrays["observations_board"]
+            ifx = intr_full[ici]
+            use_fwd = (Nip + 14) < M
+            jacf = jax.jacfwd if use_fwd else jax.jacrev
+            J = jax.vmap(jacf(board_fn), in_axes=(0, 0, 0, None))(
+                blocks, obs, ifx, params["calobject_warp"])
+            rows_o = (np.arange(Nobs)[:, None, None] * M +
+                      np.arange(M)[None, :, None])        # (Nobs,M,1)
+            if Nip:
+                coli = i_intr0 + Nip * ici
+                emit(rows_o, coli[:, None, None]
+                     + np.arange(Nip)[None, None, :],
+                     np.asarray(J["intr"]))
+            if s.do_optimize_extrinsics:
+                have = ice >= 0
+                cole = i_ext0 + 6 * np.maximum(ice, 0)
+                emit(rows_o[have], cole[have, None, None]
+                     + np.arange(6)[None, None, :],
+                     np.asarray(J["ext"])[have])
+            if s.do_optimize_frames:
+                colf = i_fr0 + 6 * ifr
+                emit(rows_o, colf[:, None, None]
+                     + np.arange(6)[None, None, :],
+                     np.asarray(J["frame"]))
+            if spec.has_calobject_warp:
+                emit(rows_o, i_w0 + np.arange(2)[None, None, :],
+                     np.asarray(J["warp"]))
+
+    # ---------------- point observations ----------------
+    if spec.Nobservations_point:
+        point_fn = _make_point_fn(spec)
+        idx = np.asarray(arrays["indices_point"])
+        ipt, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+        Np = idx.shape[0]
+        blocks = dict(intr=intr_packed[ici], ext=ext_pad[ice + 1],
+                      point=points_packed[ipt])
+        obs = arrays["observations_point"]
+        ifx = intr_full[ici]
+        J = jax.vmap(jax.jacrev(point_fn))(blocks, obs, ifx)
+        r0 = spec.measurement_index_points0
+        rows_p = (r0 + np.arange(Np)[:, None, None] * 2 +
+                  np.arange(2)[None, :, None])
+        if Nip:
+            coli = i_intr0 + Nip * ici
+            emit(rows_p, coli[:, None, None] + np.arange(Nip)[None, None, :],
+                 np.asarray(J["intr"]))
+        if s.do_optimize_extrinsics:
+            have = ice >= 0
+            cole = i_ext0 + 6 * np.maximum(ice, 0)
+            emit(rows_p[have], cole[have, None, None]
+                 + np.arange(6)[None, None, :],
+                 np.asarray(J["ext"])[have])
+        if s.do_optimize_frames and Npv:
+            have = ipt < Npv
+            colp = i_pt0 + 3 * np.minimum(ipt, max(Npv - 1, 0))
+            emit(rows_p[have], colp[have, None, None]
+                 + np.arange(3)[None, None, :],
+                 np.asarray(J["point"])[have])
+
+    # ---------------- triangulated pairs ----------------
+    if spec.num_measurements_points_triangulated \
+            and s.do_optimize_extrinsics and spec.Ncameras_extrinsics:
+        from ..triangulation import _triangulated_error
+        from ..poseutils import _rotate_point_r
+        from .layout import triangulated_pair_indices
+        px = arrays["px_triangulated"]
+        idxt = np.asarray(arrays["indices_triangulated"])
+        w = arrays["observations_point_triangulated"][:, 2]
+        i0, i1 = triangulated_pair_indices(spec.triangulated_set_sizes)
+        ice0 = idxt[i0, 2]
+        ice1 = idxt[i1, 2]
+
+        def tri_fn(e0p, e1p, v0_1, v1_1, valid):
+            sc = jnp.asarray(_EXT_SCALES, dt)
+            rt_0r = e0p * sc
+            rt_1r = e1p * sc
+            v0_ref = _rotate_point_r(rt_0r[:3], v0_1, inverted=True)
+            t_r0 = -_rotate_point_r(rt_0r[:3], rt_0r[3:], inverted=True)
+            v0_cam1 = _rotate_point_r(rt_1r[:3], v0_ref)
+            t_10 = _rotate_point_r(rt_1r[:3], t_r0) + rt_1r[3:]
+            return _triangulated_error(v1_1, v0_cam1, t_10) * valid
+
+        valid = jnp.asarray(((np.asarray(w)[i0] > 0)
+                             & (np.asarray(w)[i1] > 0)), dt)
+        e0g = ext_pad[jnp.asarray(ice0) + 1]
+        e1g = ext_pad[jnp.asarray(ice1) + 1]
+        J0, J1 = jax.vmap(jax.grad(tri_fn, argnums=(0, 1)))(
+            e0g, e1g, px[jnp.asarray(i0)], px[jnp.asarray(i1)], valid)
+        r0 = spec.measurement_index_points_triangulated0
+        rows_t = r0 + np.arange(len(i0))[:, None]
+        for Jk, icek in ((np.asarray(J0), ice0), (np.asarray(J1), ice1)):
+            have = icek >= 0
+            cole = i_ext0 + 6 * np.maximum(icek, 0)
+            emit(rows_t[have], cole[have, None] + np.arange(6)[None, :],
+                 Jk[have])
+
+    # ---------------- regularization ----------------
+    if spec.num_measurements_regularization:
+        r0 = spec.measurement_index_regularization0
+
+        def reg_fn(st, fx, tg):
+            return _reg_per_camera(_merge_intrinsics(st, fx, spec), spec,
+                                   dt, tg)
+
+        targets = jnp.asarray(
+            [[(w_ - 1) * 0.5, (h_ - 1) * 0.5]
+             for w_, h_ in spec.imagersizes]
+            or np.zeros((spec.Ncameras_intrinsics, 2)), dt)
+        if Nip:
+            Jreg = np.asarray(jax.vmap(jax.jacrev(reg_fn))(
+                intr_packed, intr_full, targets))         # (Nci,nterms,Nip)
+            ndist = (spec.Ndistortions
+                     if (s.do_apply_regularization
+                         and s.do_optimize_intrinsics_distortions) else 0)
+            ncp = Jreg.shape[1] - ndist
+            Nci = spec.Ncameras_intrinsics
+            # entry-by-entry with a nonzero mask: reference reg rows carry
+            # single diagonal entries, not dense intrinsics blocks
+            for ci in range(Nci):
+                coli = i_intr0 + Nip * ci
+                blk = Jreg[ci]
+                for k in range(ndist):
+                    nz = np.nonzero(blk[k])[0]
+                    emit(np.full(len(nz), r0 + ci * ndist + k),
+                         coli + nz, blk[k, nz])
+                for k in range(ncp):
+                    nz = np.nonzero(blk[ndist + k])[0]
+                    emit(np.full(len(nz), r0 + Nci * ndist + ci * ncp + k),
+                         coli + nz, blk[ndist + k, nz])
+        if (s.do_apply_regularization_unity_cam01
+                and s.do_optimize_extrinsics
+                and spec.Ncameras_extrinsics > 0):
+            from . import layout as _lay
+
+            def unity_fn(e0p):
+                t0 = e0p[3:] * _lay.SCALE_TRANSLATION_CAMERA
+                return (0.1 / 0.01) * (jnp.sum(t0 * t0) - 1.0)
+
+            Ju = np.asarray(jax.grad(unity_fn)(ext_packed[0]))
+            nz = np.nonzero(Ju)[0]
+            emit(np.full(len(nz), spec.Nmeasurements - 1),
+                 i_ext0 + nz, Ju[nz])
+
+    if ROWS:
+        rows = np.concatenate(ROWS)
+        cols = np.concatenate(COLS)
+        vals = np.concatenate(VALS)
+    else:
+        rows = cols = np.zeros(0, np.int64)
+        vals = np.zeros(0, np.float64)
+    J = scipy.sparse.coo_matrix(
+        (vals, (rows, cols)),
+        shape=(spec.Nmeasurements, spec.Nstate)).tocsr()
+    J.sum_duplicates()
+    J.sort_indices()
+    return J
+
+
+def _splined_corner_jacobians(spec, arrays, params, intr_packed, ext_pad,
+                              frames_packed, warp_packed):
+    """Per-corner pose-block and spline-window Jacobians for the standard
+    splined configuration (core locked).  Returns (Jpose dict of (N,2,*),
+    Jwin (N,2,2R^2), wincols (N,2R^2) int)."""
+    from .solver import (_corner_residual_machinery)
+    return _corner_residual_machinery(spec, arrays, params, intr_packed,
+                                      ext_pad, frames_packed, warp_packed)
+
+
 def optimizer_callback(no_jacobian=False, no_factorization=True, **kw):
     """One cost evaluation: returns (b_packed, x, J) with J a scipy CSR
     matrix of shape (Nmeasurements, Nstate) in packed coordinates —
     API-compatible with mrcal.optimizer_callback (mrcal-pywrap.c:1631).
 
-    The Jacobian here is assembled from AD (reverse-mode over the packed
-    state); the values match the reference's analytic CSR entries."""
+    J is assembled SPARSELY from per-observation AD block Jacobians
+    (_sparse_jacobian) — the dense matrix is never formed, so splined /
+    SfM-scale problems stay within memory (reference nnz structure:
+    _mrcal_num_j_nonzero, mrcal.c:743).  MRCAL_TPU_DENSE_J=1 forces the
+    old dense-jacrev path (debugging)."""
+    import os as _os
     spec = spec_from_inputs(**kw)
     arrays = arrays_from_inputs(**kw)
     params = params_from_arrays(arrays)
@@ -386,9 +657,13 @@ def optimizer_callback(no_jacobian=False, no_factorization=True, **kw):
     if no_jacobian:
         return np.asarray(b), np.asarray(x), None
 
-    import scipy.sparse
-    Jdense = jax.jacrev(lambda bb: residuals_from_packed(bb, arrays, spec))(b)
-    J = scipy.sparse.csr_matrix(np.asarray(Jdense))
+    if _os.environ.get("MRCAL_TPU_DENSE_J"):
+        import scipy.sparse
+        Jdense = jax.jacrev(
+            lambda bb: residuals_from_packed(bb, arrays, spec))(b)
+        J = scipy.sparse.csr_matrix(np.asarray(Jdense))
+    else:
+        J = _sparse_jacobian(b, arrays, spec)
     return np.asarray(b), np.asarray(x), J
 
 
@@ -397,27 +672,50 @@ def optimizer_callback(no_jacobian=False, no_factorization=True, **kw):
 # ----------------------------------------------------------------------------
 
 def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec,
-                    rt_cam_star_ref=None):
+                    rt_cam_star_ref=None, ccp_per_observation=False):
     """Observation residuals with a rigid reference perturbation inserted
     between every camera and frame transform (reference:
     uncertainty.c:22-130).
 
-    Two flavors (mrcal.h:611-644):
-      - 'ccp' (rt_cam_star_ref given): rt_ref_ref* is the conjugate of
-        rt_cam*_cam* (=rt_cc, expressed in the query camera's frame);
-      - 'rrp' (rt_cam_star_ref=None): rt_cc IS rt_ref_ref* directly.
+    Flavors (mrcal.h:611-644):
+      - 'ccp' stationary (rt_cam_star_ref given): rt_ref_ref* is the
+        conjugate of rt_cam*_cam* (=rt_cc) by the query camera's single
+        extrinsics;
+      - 'ccp' general (ccp_per_observation=True): each observation row
+        conjugates rt_cc by ITS OWN extrinsics — the reference's
+        uncertainty.c accumulates Jcross per measurement row from that
+        row's own extrinsics block (uncertainty.c:1189-1260), which is
+        exactly this: it handles MOVING cameras (one camera observed
+        under many extrinsics).  For a stationary camera the query rows
+        reduce to the conjugate form, so the flavors agree wherever the
+        ccp row mask is nonzero;
+      - 'rrp' (neither given): rt_cc IS rt_ref_ref* directly.
 
     Returns the boards+points measurement rows only (the rows Jcross is
     built from)."""
     from ..poseutils import _invert_rt
     params = split_packed_state(b, arrays, spec)
-    if rt_cam_star_ref is None:
+    if ccp_per_observation:
+        rt_ref_refp = None       # computed per observation row below
+    elif rt_cam_star_ref is None:
         rt_ref_refp = rt_cc
     else:
         # rt_ref_ref* = rt_ref_cam* . rt_cam*_cam*' . rt_cam*_ref
         rt_ref_refp = _compose_rt2(
             _invert_rt(rt_cam_star_ref),
             _compose_rt2(rt_cc, rt_cam_star_ref))
+
+    def _rt_rr_rows(rt_cam_ref_rows):
+        """Per-row rt_ref_ref*: conjugate rt_cc by each row's own
+        extrinsics (identity for rows of the reference camera)."""
+        if not ccp_per_observation:
+            return jnp.broadcast_to(rt_ref_refp,
+                                    rt_cam_ref_rows.shape[:-1] + (6,))
+        return _compose_rt2(
+            _invert_rt(rt_cam_ref_rows),
+            _compose_rt2(jnp.broadcast_to(rt_cc,
+                                          rt_cam_ref_rows.shape[:-1] + (6,)),
+                         rt_cam_ref_rows))
 
     parts = []
     if spec.Nobservations_board:
@@ -426,7 +724,7 @@ def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec,
         iframe, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
         rt_cam_ref = _ext_padded(params["extrinsics"])[ice + 1]
         rt_ref_frame = _compose_rt2(
-            jnp.broadcast_to(rt_ref_refp, (idx.shape[0], 6)),
+            _rt_rr_rows(rt_cam_ref),
             params["frames"][iframe])
         rt_joint = _compose_rt2(rt_cam_ref, rt_ref_frame)
         pts = board_points_ref(spec, params["calobject_warp"])
@@ -439,8 +737,9 @@ def residuals_cross(rt_cc, b, arrays, spec: ProblemSpec,
         obs = arrays["observations_point"]
         idx = arrays["indices_point"]
         ipt, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
-        p_ref = _transform_point_rt(rt_ref_refp, params["points"][ipt])
         rt_cam_ref = _ext_padded(params["extrinsics"])[ice + 1]
+        p_ref = _transform_point_rt(_rt_rr_rows(rt_cam_ref),
+                                    params["points"][ipt])
         p_cam = _transform_point_rt(rt_cam_ref, p_ref)
         q = project_core(p_cam, params["intrinsics"][ici], spec.lensmodel)
         w = jnp.where(obs[..., 2] > 0.0, obs[..., 2], 0.0)
@@ -466,8 +765,7 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
     measurements); the rrp flavor uses every row.
     """
     import jax
-    from .layout import (spec_from_inputs, normalize_inputs,
-                         camera_extrinsics_indices)
+    from .layout import spec_from_inputs, normalize_inputs
     kw = normalize_inputs(kw)
     spec = spec_from_inputs(**kw)
     arrays = arrays_from_inputs(**kw)
@@ -475,19 +773,13 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
     b = pack_params(params, spec)
 
     row_mask = None
-    if icam_intrinsics is None or icam_intrinsics < 0:
-        rt_csr = None                               # 'rrp' flavor
-    else:
-        ices = camera_extrinsics_indices(icam_intrinsics, **kw)
-        if ices.size != 1:
-            raise NotImplementedError(
-                f"cross-reprojection-ccp: camera {icam_intrinsics} is "
-                f"observed under {ices.size} extrinsics indices {ices} "
-                "(moving camera); only stationary cameras are supported "
-                "for the ccp flavor. Use method='mean-pcam'.")
-        icam_e = int(ices[0])
-        rt_csr = (params["extrinsics"][icam_e] if icam_e >= 0
-                  else jnp.zeros(6, b.dtype))
+    ccp = not (icam_intrinsics is None or icam_intrinsics < 0)
+    if ccp:
+        # 'ccp' flavor: each measurement row of the query camera
+        # conjugates the perturbation by ITS OWN extrinsics — this is the
+        # reference's per-row Jcross accumulation (uncertainty.c:
+        # 1189-1260) and handles MOVING cameras (a camera observed under
+        # several extrinsics indices) with no special-casing.
         # row mask over the boards+points measurement rows: the ccp fit
         # uses only the query camera's observations
         masks = []
@@ -505,7 +797,8 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
             row_mask = jnp.asarray(np.concatenate(masks), b.dtype)
 
     Jcross = jax.jacfwd(
-        lambda rt: residuals_cross(rt, b, arrays, spec, rt_csr))(
+        lambda rt: residuals_cross(rt, b, arrays, spec,
+                                   ccp_per_observation=ccp))(
         jnp.zeros(6, b.dtype))                     # (Nmeas_obs, 6)
     if row_mask is not None:
         # masking Jcross alone masks both JcT_Jc and JcT_J (the mask is
@@ -513,20 +806,21 @@ def drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw):
         # Jc'^T J = Jc^T M J)
         Jcross = Jcross * row_mask[:, None]
 
-    # dense packed Jacobian of the measurement rows.  The columns kept are
+    # sparse packed Jacobian of the measurement rows.  The columns kept are
     # the PERTURBED quantities of the cross-reprojection data flow
     # (doc/uncertainty-cross-reprojection.org):
     #   rrp: x_cross_0 = x* + J_[frames,points,cw] db
     #   ccp: x_cross_0 = x* + J_[extrinsics,frames,points,cw] db
     # (the ccp flow is T_cc+ T_c+r+ T_r+f+: extrinsics are perturbed too)
-    Jdense = jax.jacrev(lambda bb: residuals_from_packed(bb, arrays, spec))(b)
     Nobs_meas = spec.measurement_index_points_triangulated0
-    col0 = (spec.state_index_frames0 if rt_csr is None
-            else spec.state_index_extrinsics0)
-    J_fpcw = jnp.asarray(Jdense)[:Nobs_meas].at[:, :col0].set(0.0)
+    col0 = (spec.state_index_extrinsics0 if ccp
+            else spec.state_index_frames0)
+    Jsp = _sparse_jacobian(b, arrays, spec)[:Nobs_meas]
+    JcT_J = np.asarray((Jsp.T @ np.asarray(Jcross)).T)    # (6, Nstate)
+    JcT_J[:, :col0] = 0.0
 
     JcT_Jc = Jcross.T @ Jcross
-    JcT_J = Jcross.T @ J_fpcw
     # SPD solve via Cholesky: TPU XLA has no f64 LuDecomposition
     L = jnp.linalg.cholesky(JcT_Jc)
-    return np.asarray(-jax.scipy.linalg.cho_solve((L, True), JcT_J))
+    return np.asarray(-jax.scipy.linalg.cho_solve(
+        (L, True), jnp.asarray(JcT_J)))

@@ -516,18 +516,48 @@ def _block_solve(A, rhs):
     return L, solve
 
 
+# lambda is RELATIVE (it multiplies the Marquardt diag scaling), so this
+# floor still leaves the step effectively Gauss-Newton — but it suppresses
+# the near-gauge-direction step blowup that otherwise forms a lambda limit
+# cycle at convergence (accepts at rho~1 shrink lam geometrically until a
+# near-null-space step explodes, rejects pump it back: |db| never falls
+# under update_threshold and the polish grinds to max_iterations)
+_LAM_FLOOR = 1e-11
+
+
+def _damping_diag(A):
+    """Marquardt scaling diagonal for a (batched) SPD block: diag(A)
+    clamped below by a relative floor, so barely-observed states (e.g.
+    spline knots outside the view) still get positive damping.  Plain
+    lam*I damping NaN'd the f32 Cholesky on the canonical splined problem:
+    its packed Hcc diagonal spans ~12 orders of magnitude."""
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    floor = 1e-12 * jnp.max(d) + 1e-30
+    return jnp.maximum(d, floor)
+
+
+def _damped(A, lam, dd):
+    n = A.shape[-1]
+    return A + (lam * dd)[..., None] * jnp.eye(n, dtype=A.dtype)
+
+
 def schur_step(ne, lam, spec: ProblemSpec):
-    """Solve (JtJ + lam I) delta = -g exactly via block elimination of frame
-    and point blocks.  Returns (delta_c, delta_f, delta_p)."""
+    """Solve (JtJ + lam D) delta = -g exactly via block elimination of
+    frame and point blocks, D = Marquardt diag(JtJ) scaling.  Returns
+    (delta_c, delta_f, delta_p, pred) where pred is the model's predicted
+    decrease of E: pred = -g.d + lam d.D.d (derivation: E(b+d) ~ E + 2g.d
+    + d.H.d with H d = -g - lam D d)."""
     dt = ne["g_c"].dtype
     Nf = spec.Nframes
     Npv = spec.Npoints_variable
-    Hcc = ne["Hcc"] + lam * jnp.eye(ne["Hcc"].shape[0], dtype=dt)
+    dd_c = _damping_diag(ne["Hcc"])
+    Hcc = _damped(ne["Hcc"], lam, dd_c)
     g_red = ne["g_c"]
     H_red = Hcc
 
     if Nf:
-        Af = ne["Hff"][:Nf] + lam * jnp.eye(6, dtype=dt)
+        dd_f = _damping_diag(ne["Hff"][:Nf])
+        Af = _damped(ne["Hff"][:Nf], lam, dd_f)
         Cf = ne["Cf"][:Nf]                                 # (Nf,6,Nc)
         gf = ne["g_f"][:Nf]
         _, solve_f = _block_solve(Af, Cf)
@@ -536,7 +566,8 @@ def schur_step(ne, lam, spec: ProblemSpec):
         H_red = H_red - jnp.einsum("fic,fid->cd", Cf, AinvC)
         g_red = g_red - jnp.einsum("fic,fi->c", Cf, Ainvg)
     if Npv:
-        Ap = ne["Hpp"][:Npv] + lam * jnp.eye(3, dtype=dt)
+        dd_p = _damping_diag(ne["Hpp"][:Npv])
+        Ap = _damped(ne["Hpp"][:Npv], lam, dd_p)
         Cp = ne["Cp"][:Npv]
         gp = ne["g_p"][:Npv]
         _, solve_p = _block_solve(Ap, Cp)
@@ -548,15 +579,21 @@ def schur_step(ne, lam, spec: ProblemSpec):
     Lc = jnp.linalg.cholesky(H_red)
     delta_c = -jax.scipy.linalg.cho_solve((Lc, True), g_red)
 
+    pred = -jnp.dot(ne["g_c"], delta_c) \
+        + lam * jnp.dot(delta_c, dd_c * delta_c)
     delta_f = jnp.zeros((max(Nf, 1), 6), dt)
     if Nf:
         rhs = -(gf + jnp.einsum("fic,c->fi", Cf, delta_c))
         delta_f = solve_f(rhs[..., None])[..., 0]
+        pred = pred - jnp.sum(gf * delta_f) \
+            + lam * jnp.sum(delta_f * (dd_f * delta_f))
     delta_p = jnp.zeros((max(Npv, 1), 3), dt)
     if Npv:
         rhs = -(gp + jnp.einsum("fic,c->fi", Cp, delta_c))
         delta_p = solve_p(rhs[..., None])[..., 0]
-    return delta_c, delta_f, delta_p
+        pred = pred - jnp.sum(gp * delta_p) \
+            + lam * jnp.sum(delta_p * (dd_p * delta_p))
+    return delta_c, delta_f, delta_p, pred
 
 
 def _delta_to_b(delta_c, delta_f, delta_p, spec: ProblemSpec):
@@ -648,7 +685,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     b = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
     if ftol is None:
-        ftol = 1e-6 if b.dtype == jnp.float32 else 1e-11
+        ftol = 1e-6 if b.dtype == jnp.float32 else 1e-10
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
     lam = lam0
@@ -657,17 +694,12 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     niter = 0
     for it in range(max_iterations):
         niter = it + 1
-        dc, df, dp = step_fn(ne, lam)
+        dc, df, dp, pred_d = step_fn(ne, lam)
         db = _delta_to_b(dc, df, dp, spec)
-        g = _g_to_b(ne, spec)
         b_new = b + db
         ne_new = ne_fn(b_new, arrays)
         E_new = float(ne_new["E"])
-        # predicted reduction of E=|x|^2 for the damped step:
-        # E(b)-E(b+d) ~ -2 g.d - d.H d = d.(lam d - g)*? using
-        # (H+lam I)d = -g  =>  Hd = -g - lam d  =>
-        # pred = -2 g.d - d.Hd = -2g.d + d.g + lam|d|^2 = -g.d + lam |d|^2
-        pred = float(-jnp.dot(g, db) + lam * jnp.dot(db, db))
+        pred = float(pred_d)
         rho = (E - E_new) / pred if pred > 0 else -1.0
         if verbose:
             print(f"iter {it}: E={E:.6e} Enew={E_new:.6e} lam={lam:.2e} "
@@ -678,7 +710,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
             b, ne, E = b_new, ne_new, E_new
             lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3) \
                 if rho > 0 else lam / 2.0
-            lam = max(lam, 1e-14)
+            lam = max(lam, _LAM_FLOOR)
             nu = 2.0
         else:
             lam *= nu
@@ -870,6 +902,21 @@ def optimize(**kw):
     # verbose needs per-iteration host prints -> host loop
     device_loop = bool(kw.get("device_loop", True)) and not verbose
 
+    # multi-chip: optimize(..., mesh=<jax.sharding.Mesh | int | "auto">)
+    # shards the observation axis over the mesh and runs the SAME
+    # device-resident while_loop with a psum'd normal-equation evaluation
+    # (parallel/sharding.py sharded_lm_solve_device).  NOTE: splined models
+    # currently use the generic per-observation jacrev in the sharded
+    # assembly — fine for moderate boards, not yet for the canonical 30x18
+    # splined scene (use the single-chip MXU assembly there).
+    mesh = kw.get("mesh")
+    if mesh is not None:
+        from ..parallel.sharding import make_mesh
+        if isinstance(mesh, str):                  # "auto"
+            mesh = make_mesh()
+        elif isinstance(mesh, int):
+            mesh = make_mesh(mesh)
+
     def solve(b, **solve_kw):
         solve_kw.setdefault("max_iterations", max_iterations)
         solve_kw.setdefault("update_threshold", update_threshold)
@@ -877,6 +924,10 @@ def optimize(**kw):
             solve_kw.setdefault("ftol", ftol)
         # MRCAL_TPU_PROFILE=<logdir> dumps an XLA device trace per solve
         with profiling.trace():
+            if mesh is not None:
+                from ..parallel.sharding import sharded_lm_solve_device
+                return sharded_lm_solve_device(spec, arrays, b, mesh,
+                                               **solve_kw)
             if device_loop:
                 return lm_solve_device(spec, arrays, b, **solve_kw)
             return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
@@ -979,20 +1030,31 @@ def optimize(**kw):
 _DEVICE_SOLVER_CACHE = {}
 
 
-def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
-    """Compile (once per problem shape) the full device-resident LM loop.
-    max_iterations/update_threshold are DYNAMIC inputs so one compilation
-    serves every call."""
-    key = (spec, static_idx_key, str(dtype))
-    if key in _DEVICE_SOLVER_CACHE:
-        return _DEVICE_SOLVER_CACHE[key]
+def _make_device_lm(spec: ProblemSpec, ne_fn):
+    """The full trust-region LM loop as ONE jitted computation around an
+    arbitrary normal-equations function ne_fn(b, arrays) -> ne dict.  The
+    single-chip solver passes the generic/splined assembly; the sharded
+    solver passes a shard_map'd psum-reduced assembly (the while_loop body
+    is IDENTICAL — collectives ride inside ne_fn).
 
-    ne_fn = build_normal_equations(spec, None, static_idx)
+    Returns a callable solve(b0, arrays, max_iterations, update_threshold,
+    lam0, ftol) -> (b, ne, niter), which ALSO exposes solve.start /
+    solve.run for segmented execution: run(state, ...) continues the loop
+    from a carried LM state, so the host can split a long solve into
+    bounded-duration device dispatches (the axon TPU worker kills
+    executions that run too long in one dispatch — see
+    _run_device_lm_chunked)."""
 
     @jax.jit
-    def solve(b0, arrays, max_iterations, update_threshold, lam0, ftol):
+    def start(b0, arrays, lam0):
+        ne0 = ne_fn(b0, arrays)
         dt = b0.dtype
+        return (b0, ne0, jnp.asarray(lam0, dt), jnp.asarray(2.0, dt),
+                jnp.asarray(0, jnp.int32), ne0["E"],
+                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
+    @jax.jit
+    def run(state0, arrays, max_iterations, update_threshold, ftol):
         def cond(state):
             b, ne, lam, nu, it, E_ref, it_ref, done = state
             return (~done) & (it < max_iterations)
@@ -1000,14 +1062,12 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
         def body(state):
             # carried `ne` = normal equations AT b: one NE eval/iteration
             b, ne, lam, nu, it, E_ref, it_ref, done = state
-            dc, df, dp = schur_step(ne, lam, spec)
+            dc, df, dp, pred = schur_step(ne, lam, spec)
             db = _delta_to_b(dc, df, dp, spec)
-            g = _g_to_b(ne, spec)
             b_try = b + db
             ne_try = ne_fn(b_try, arrays)
             E = ne["E"]
             E_try = ne_try["E"]
-            pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
             rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
             accept = (E_try < E) & jnp.isfinite(E_try)
             # converged when the PROPOSED step is below the threshold,
@@ -1023,7 +1083,7 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             lam_up = lam * nu
             lam_down = jnp.maximum(
                 lam * jnp.maximum(1.0 / 3.0,
-                                  1.0 - (2.0 * rho - 1.0) ** 3), 1e-14)
+                                  1.0 - (2.0 * rho - 1.0) ** 3), _LAM_FLOOR)
             lam = jnp.where(accept,
                             jnp.where(rho > 0, lam_down, lam / 2.0), lam_up)
             nu = jnp.where(accept, 2.0, nu * 2.0)
@@ -1043,14 +1103,66 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
             done = small | ((plateaued | (lam > 1e12)) & ~benchmark)
             return (b, ne, lam, nu, it + 1, E_ref, it_ref, done)
 
-        ne0 = ne_fn(b0, arrays)
-        state0 = (b0, ne0, jnp.asarray(lam0, dt), jnp.asarray(2.0, dt),
-                  jnp.asarray(0, jnp.int32), ne0["E"],
-                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        b, ne, lam, nu, it, E_ref, it_ref, done = \
-            jax.lax.while_loop(cond, body, state0)
-        return b, ne, it
+        return jax.lax.while_loop(cond, body, state0)
 
+    def solve(b0, arrays, max_iterations, update_threshold, lam0, ftol):
+        state = start(b0, arrays, lam0)
+        state = run(state, arrays, max_iterations, update_threshold, ftol)
+        return state[0], state[1], state[4]
+
+    solve.start = start
+    solve.run = run
+    return solve
+
+
+def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
+                           update_threshold, lam0, ftol, chunk0=64,
+                           target_s=4.0):
+    """Run the device-resident LM loop as a sequence of bounded-duration
+    dispatches: the full LM state (b, ne, lam, nu, it, plateau refs, done)
+    is carried on device between segments, so the math is IDENTICAL to one
+    long while_loop — only the host reads back two scalars per segment
+    (~25 ms over the device tunnel).
+
+    Why: the axon TPU worker crashes ('kernel fault') when a single
+    execution runs for tens of seconds (empirically: the canonical splined
+    solve at 2000 iterations ~16 s died; 300 iterations ~2.4 s is fine).
+    Segment duration is adapted toward target_s from the measured
+    iteration rate, starting conservatively at chunk0 iterations."""
+    import time as _time
+    dt = b0.dtype
+    thr = jnp.asarray(update_threshold, dt)
+    ftol_d = jnp.asarray(ftol, dt)
+    state = solve.start(b0, arrays, jnp.asarray(lam0, dt))
+    seg = int(chunk0)
+    it_done = 0
+    while True:
+        stop_at = min(int(max_iterations), it_done + seg)
+        t0 = _time.perf_counter()
+        state = solve.run(state, arrays,
+                          jnp.asarray(stop_at, jnp.int32), thr, ftol_d)
+        it_new = int(state[4])
+        dt_seg = _time.perf_counter() - t0
+        ran = max(it_new - it_done, 1)
+        it_done = it_new
+        if bool(state[7]) or it_done >= int(max_iterations):
+            break
+        # adapt: keep a single dispatch near target_s (first segment's
+        # rate includes compile time -> conservative, self-corrects)
+        rate = ran / max(dt_seg, 1e-3)
+        seg = int(min(max(chunk0, rate * target_s), 200_000))
+    return state[0], state[1], state[4]
+
+
+def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
+    """Compile (once per problem shape) the full device-resident LM loop.
+    max_iterations/update_threshold are DYNAMIC inputs so one compilation
+    serves every call."""
+    key = (spec, static_idx_key, str(dtype))
+    if key in _DEVICE_SOLVER_CACHE:
+        return _DEVICE_SOLVER_CACHE[key]
+    solve = _make_device_lm(spec, build_normal_equations(spec, None,
+                                                         static_idx))
     _DEVICE_SOLVER_CACHE[key] = solve
     return solve
 
@@ -1080,13 +1192,30 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     if ftol is None:
         # f32 grinds at its ~1e-7 relative-E precision floor; f64 at
         # roundoff.  Terminate when accepted improvements fall below it.
-        ftol = 1e-6 if b0.dtype == jnp.float32 else 1e-11
+        ftol = 1e-6 if b0.dtype == jnp.float32 else 1e-10
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
-    b, ne, it = solve(b0, arrays, jnp.asarray(max_iterations, jnp.int32),
-                      jnp.asarray(eff_threshold, b0.dtype),
-                      jnp.asarray(lam0, b0.dtype),
-                      jnp.asarray(ftol, b0.dtype))
+    if _use_chunked_dispatch():
+        b, ne, it = _run_device_lm_chunked(
+            solve, b0, arrays, max_iterations, eff_threshold, lam0, ftol,
+            chunk0=int(_os.environ.get("MRCAL_TPU_DEVICE_CHUNK") or 64))
+    else:
+        b, ne, it = solve(b0, arrays,
+                          jnp.asarray(max_iterations, jnp.int32),
+                          jnp.asarray(eff_threshold, b0.dtype),
+                          jnp.asarray(lam0, b0.dtype),
+                          jnp.asarray(ftol, b0.dtype))
     return b, float(ne["E"]), int(it), ne
+
+
+def _use_chunked_dispatch():
+    """Segmented device dispatches by default on accelerators (the axon
+    worker kills single long-running executions); single-shot on CPU.
+    MRCAL_TPU_DEVICE_CHUNK=0 forces single-shot, =N sets the initial
+    segment size."""
+    env = _os.environ.get("MRCAL_TPU_DEVICE_CHUNK")
+    if env is not None:
+        return int(env) > 0
+    return jax.default_backend() != "cpu"
 
 
 # ----------------------------------------------------------------------------
@@ -1390,3 +1519,113 @@ def _splined_fast_path_ok(spec: ProblemSpec, static_idx):
             and spec.Nobservations_point == 0
             and spec.num_measurements_points_triangulated == 0
             and spec.Nobservations_board > 0)
+
+
+def _corner_residual_machinery(spec: ProblemSpec, arrays, params,
+                               intr_packed, ext_pad, frames_packed,
+                               warp_packed):
+    """Per-corner pose-block + spline-window Jacobians for the standard
+    splined configuration (same corner math as
+    build_normal_equations_splined; used by the sparse optimizer_callback
+    Jacobian, which needs per-row blocks rather than accumulated normal
+    equations).  Returns (Jpose dict of (N,2,*), Jwin (N,2,2R^2),
+    wincols (N,2R^2) int — columns relative to the intrinsics block)."""
+    from ..lensmodels import (splined_window_index, _bspline_weights_cubic,
+                              _bspline_weights_quadratic, stereographic_uv)
+    lm = spec.lensmodel
+    cl = _CLayout(spec)
+    R = lm.order + 1
+    H_n = spec.calibration_object_height_n
+    W_n = spec.calibration_object_width_n
+    Ncorners = H_n * W_n
+    dt = intr_packed.dtype
+
+    idx = np.asarray(arrays["indices_board"])
+    Nobs = idx.shape[0]
+    ifr, ici, ice = idx[:, 0], idx[:, 1], idx[:, 2]
+    N = Nobs * Ncorners
+    cx = np.tile(np.arange(W_n), H_n).astype(np.float64)
+    cy = np.repeat(np.arange(H_n), W_n).astype(np.float64)
+    ifr_c = jnp.asarray(np.repeat(ifr, Ncorners))
+    ici_c = jnp.asarray(np.repeat(ici, Ncorners))
+    ice_c = jnp.asarray(np.repeat(ice, Ncorners))
+    obs_c = arrays["observations_board"].reshape(N, 3)
+    corner_xy = jnp.asarray(np.stack(
+        [np.tile(cx, Nobs), np.tile(cy, Nobs)], axis=-1), dt)
+
+    intr_full = params["intrinsics"]
+    pose = dict(ext=ext_pad[ice_c + 1],
+                frame=frames_packed[ifr_c],
+                warp=jnp.broadcast_to(warp_packed, (N, 2)))
+    core4 = intr_full[ici_c, :4]
+    coeffs = intr_full[:, 4:].reshape(
+        spec.Ncameras_intrinsics, lm.Ny, lm.Nx, 2)
+
+    def window_of(pose1, cxy1, ici1):
+        rt_joint = _compose_rt2(
+            pose1["ext"] * jnp.asarray(_EXT_SCALES, dt),
+            pose1["frame"] * jnp.asarray(_FRAME_SCALES, dt))
+        if spec.has_calobject_warp:
+            warp = pose1["warp"] * jnp.asarray(_WARP_SCALES, dt)
+        else:
+            warp = params["calobject_warp"]
+        xr = cxy1[0] / (W_n - 1)
+        yr = cxy1[1] / (H_n - 1)
+        z = (warp[0] * 4.0 * xr * (1.0 - xr) +
+             warp[1] * 4.0 * yr * (1.0 - yr))
+        pt_ref = jnp.stack([cxy1[0] * spec.calibration_object_spacing,
+                            cxy1[1] * spec.calibration_object_spacing, z])
+        p = _transform_point_rt(rt_joint, pt_ref)
+        u = stereographic_uv(p)
+        ix0, iy0, _, _ = splined_window_index(u, lm)
+        offs = jnp.arange(R, dtype=jnp.int32)
+        iyw = iy0 - 1 + offs
+        ixw = ix0 - 1 + offs
+        win = coeffs[ici1, iyw[:, None], ixw[None, :], :]   # (R,R,2)
+        return win, jnp.stack([ix0, iy0])
+
+    win, ixy0 = jax.vmap(window_of)(pose, corner_xy, ici_c)
+    ixy0 = jax.lax.stop_gradient(ixy0)
+
+    def corner_fn(pose1, win1, ixy01, cxy1, obs1, core41):
+        rt_cam = pose1["ext"] * jnp.asarray(_EXT_SCALES, dt)
+        rt_frame = pose1["frame"] * jnp.asarray(_FRAME_SCALES, dt)
+        if spec.has_calobject_warp:
+            warp = pose1["warp"] * jnp.asarray(_WARP_SCALES, dt)
+        else:
+            warp = params["calobject_warp"]
+        xr = cxy1[0] / (W_n - 1)
+        yr = cxy1[1] / (H_n - 1)
+        z = (warp[0] * 4.0 * xr * (1.0 - xr) +
+             warp[1] * 4.0 * yr * (1.0 - yr))
+        pt_ref = jnp.stack([cxy1[0] * spec.calibration_object_spacing,
+                            cxy1[1] * spec.calibration_object_spacing, z])
+        rt_joint = _compose_rt2(rt_cam, rt_frame)
+        p = _transform_point_rt(rt_joint, pt_ref)
+        u = stereographic_uv(p)
+        spu = lm.segments_per_u
+        ix = u[0] * spu + (lm.Nx - 1) / 2.0
+        iy = u[1] * spu + (lm.Ny - 1) / 2.0
+        tx = ix - ixy01[0]
+        ty = iy - ixy01[1]
+        wts = (_bspline_weights_cubic if lm.order == 3
+               else _bspline_weights_quadratic)
+        du = jnp.einsum("i,j,ijk->k", wts(ty), wts(tx), win1)
+        fx, fy, cx_, cy_ = core41[0], core41[1], core41[2], core41[3]
+        q = jnp.stack([(u[0] + du[0]) * fx + cx_,
+                       (u[1] + du[1]) * fy + cy_])
+        w = jnp.maximum(obs1[2], 0.0)
+        return (q - obs1[:2]) * w
+
+    Jpose = jax.vmap(jax.jacrev(corner_fn, argnums=0))(
+        pose, win, ixy0, corner_xy, obs_c, core4)
+    Jwin = jax.vmap(jax.jacrev(corner_fn, argnums=1))(
+        pose, win, ixy0, corner_xy, obs_c, core4).reshape(N, 2, R * R * 2)
+
+    offs = jnp.arange(R, dtype=jnp.int32)
+    iyw = ixy0[:, 1:2] - 1 + offs[None, :]
+    ixw = ixy0[:, 0:1] - 1 + offs[None, :]
+    flat = (iyw[:, :, None] * lm.Nx + ixw[:, None, :])
+    wincols = ici_c[:, None, None, None] * cl.Nip + \
+        (2 * flat)[..., None] + jnp.arange(2, dtype=jnp.int32)
+    return Jpose, Jwin, wincols.reshape(N, R * R * 2)

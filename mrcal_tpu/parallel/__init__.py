@@ -5,4 +5,5 @@ from .sharding import (  # noqa: F401
     sharded_normal_equations,
     sharded_lm_step,
     sharded_lm_solve,
+    sharded_lm_solve_device,
 )

@@ -85,6 +85,16 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
     g_p = jnp.zeros((max(Npv, 1), 3), dt)
     Hpp = jnp.zeros((max(Npv, 1), 3, 3), dt)
     Cp = jnp.zeros((max(Npv, 1), 3, Nc), dt)
+    # residual ROWS of the local shard (padded rows zero); the caller keeps
+    # these sharded over the observation axis
+    x_board_rows = jnp.zeros((arrays["observations_board"].shape[0]
+                              if spec.Nobservations_board else 0,
+                              2 * spec.calibration_object_height_n *
+                              spec.calibration_object_width_n), dt)
+    x_point_rows = jnp.zeros((arrays["observations_point"].shape[0]
+                              if spec.Nobservations_point else 0, 2), dt)
+    x_tri_rows = jnp.zeros((arrays["tri_v0"].shape[0]
+                            if "tri_v0" in arrays else 0,), dt)
 
     if spec.Nobservations_board and arrays["observations_board"].shape[0]:
         idx = arrays["indices_board"]
@@ -112,6 +122,7 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
             if spec.has_calobject_warp else jnp.zeros_like(J["warp"])
 
         E = E + jnp.sum(r * r)
+        x_board_rows = r
 
         # column start offsets per obs (dynamic)
         coli = ici * cl.Nip
@@ -185,6 +196,7 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
         Jp = J["point"] * (mask_p * (ipt < Npv).astype(dt))[:, None, None] \
             if (s.do_optimize_frames and Npv) else jnp.zeros_like(J["point"])
         E = E + jnp.sum(r * r)
+        x_point_rows = r
         coli = ici * cl.Nip
         cole = cl.e0 + 6 * jnp.maximum(ice, 0)
 
@@ -252,6 +264,7 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
         e1g = ext_pad[tice1 + 1]
         r = jax.vmap(tri_fn)(e0g, e1g, v0, v1) * tmask
         E = E + jnp.sum(r * r)
+        x_tri_rows = r
         if s.do_optimize_extrinsics and spec.Ncameras_extrinsics:
             J0 = jax.vmap(jax.grad(tri_fn, argnums=0))(e0g, e1g, v0, v1)
             J1 = jax.vmap(jax.grad(tri_fn, argnums=1))(e0g, e1g, v0, v1)
@@ -278,7 +291,9 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
             Hcc = scat_Ht(Hcc, J1, col1, J0, col0)
 
     return dict(E=E, g_c=g_c, g_f=g_f, g_p=g_p, Hcc=Hcc, Hff=Hff, Cf=Cf,
-                Hpp=Hpp, Cp=Cp)
+                Hpp=Hpp, Cp=Cp,
+                x_board=x_board_rows, x_point=x_point_rows,
+                x_tri=x_tri_rows)
 
 
 def _reg_contrib(spec: ProblemSpec, b, arrays):
@@ -290,7 +305,8 @@ def _reg_contrib(spec: ProblemSpec, b, arrays):
     if not spec.num_measurements_regularization:
         z = jnp.zeros((), dt)
         return dict(E=z, g_c=jnp.zeros(cl.Nc, dt),
-                    Hcc=jnp.zeros((cl.Nc, cl.Nc), dt))
+                    Hcc=jnp.zeros((cl.Nc, cl.Nc), dt),
+                    x_reg=jnp.zeros((0,), dt))
     iscales = jnp.asarray(_intr_scales(spec), dt)
 
     def intr_state_packed(row):
@@ -321,6 +337,14 @@ def _reg_contrib(spec: ProblemSpec, b, arrays):
         if cl.Nip:
             g_c = g_c.at[i0:i0 + cl.Nip].add(J[ci].T @ r[ci])
             Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(J[ci].T @ J[ci])
+    # reference measurement ordering: ALL distortion terms, then ALL
+    # centerpixel terms, then the unity_cam01 row (mrcal.c:5707-5900)
+    ndist_terms = (spec.Ndistortions
+                   if (s.do_apply_regularization
+                       and s.do_optimize_intrinsics_distortions)
+                   else 0)
+    x_reg = jnp.concatenate([r[:, :ndist_terms].reshape(-1),
+                             r[:, ndist_terms:].reshape(-1)])
     if (s.do_apply_regularization_unity_cam01 and s.do_optimize_extrinsics
             and spec.Ncameras_extrinsics > 0):
         from ..optimize import layout as _lay
@@ -336,7 +360,8 @@ def _reg_contrib(spec: ProblemSpec, b, arrays):
         e0 = cl.cole(0)
         g_c = g_c.at[e0:e0 + 6].add(Ju * ru)
         Hcc = Hcc.at[e0:e0 + 6, e0:e0 + 6].add(jnp.outer(Ju, Ju))
-    return dict(E=E, g_c=g_c, Hcc=Hcc)
+        x_reg = jnp.concatenate([x_reg, ru[None]])
+    return dict(E=E, g_c=g_c, Hcc=Hcc, x_reg=x_reg)
 
 
 def sharded_normal_equations(spec: ProblemSpec, mesh, axis="obs"):
@@ -369,6 +394,8 @@ def sharded_normal_equations(spec: ProblemSpec, mesh, axis="obs"):
             arr["tri_ice1"] = tri_ice1
             arr["tri_mask"] = tri_mask
             ne = _local_normal_equations(spec, b, arr, mask_b, mask_p)
+            for k in ("x_board", "x_point", "x_tri"):
+                ne.pop(k)           # legacy API: blocks only, all P()
             ne = jax.tree.map(partial(jax.lax.psum, axis_name=axis), ne)
             reg = _reg_contrib(spec, b, arr)
             ne["E"] = ne["E"] + reg["E"]
@@ -397,10 +424,8 @@ def sharded_lm_step(spec: ProblemSpec, mesh, axis="obs"):
             ne = ne_fn(b, obs_board, idx_board, mask_b,
                        obs_point, idx_point, mask_p,
                        tv0, tv1, te0, te1, tm)
-            dc, df, dp = schur_step(ne, lam, spec)
+            dc, df, dp, pred = schur_step(ne, lam, spec)
             db = _delta_to_b(dc, df, dp, spec)
-            g = _g_to_b(ne, spec)
-            pred = -jnp.dot(g, db) + lam * jnp.dot(db, db)
             return b + db, ne["E"], pred, db
 
         return step
@@ -410,15 +435,19 @@ def sharded_lm_step(spec: ProblemSpec, mesh, axis="obs"):
 
 def _padded_shard_arrays(arrays, n_dev):
     """Pad the observation arrays to a multiple of the mesh size; padding
-    rows carry mask=0 (their residual rows vanish, preserving the math)."""
+    rows carry mask=0 (their residual rows vanish, preserving the math).
+    Float dtypes follow the input arrays (f32 solves stay f32)."""
+    fdt = np.asarray(arrays["observations_board"]).dtype \
+        if np.asarray(arrays["observations_board"]).size else \
+        np.asarray(arrays["intrinsics"]).dtype
     obs = np.asarray(arrays["observations_board"])
     idx = np.asarray(arrays["indices_board"])
     Nobs = obs.shape[0]
     Npad = _pad_to(max(Nobs, 1), n_dev) if Nobs else n_dev
     shp = obs.shape[1:] if Nobs else (1, 1, 3)
-    obs_p = np.zeros((Npad,) + shp, np.float64)
+    obs_p = np.zeros((Npad,) + shp, fdt)
     idx_p = np.zeros((Npad, 3), np.int32)
-    mask_b = np.zeros(Npad)
+    mask_b = np.zeros(Npad, fdt)
     if Nobs:
         obs_p[:Nobs] = obs
         idx_p[:Nobs] = idx
@@ -428,9 +457,9 @@ def _padded_shard_arrays(arrays, n_dev):
     idxp = np.asarray(arrays["indices_point"])
     Np = obsp.shape[0]
     Nppad = _pad_to(max(Np, 1), n_dev) if Np else n_dev
-    obsp_p = np.zeros((Nppad, 3), np.float64)
+    obsp_p = np.zeros((Nppad, 3), fdt)
     idxp_p = np.zeros((Nppad, 3), np.int32)
-    mask_p = np.zeros(Nppad)
+    mask_p = np.zeros(Nppad, fdt)
     if Np:
         obsp_p[:Np] = obsp
         idxp_p[:Np] = idxp
@@ -448,15 +477,15 @@ def _padded_shard_arrays(arrays, n_dev):
         i0, i1 = triangulated_pair_indices(sizes)
         Ntp = len(i0)
         Ntpad = _pad_to(max(Ntp, 1), n_dev)
-        tv0 = np.zeros((Ntpad, 3))
-        tv1 = np.zeros((Ntpad, 3))
+        tv0 = np.zeros((Ntpad, 3), fdt)
+        tv1 = np.zeros((Ntpad, 3), fdt)
         tv0[:Ntp] = px[i0]
         tv1[:Ntp] = px[i1]
         te0 = np.zeros(Ntpad, np.int32)
         te1 = np.zeros(Ntpad, np.int32)
         te0[:Ntp] = idxt[i0, 2]
         te1[:Ntp] = idxt[i1, 2]
-        tm = np.zeros(Ntpad)
+        tm = np.zeros(Ntpad, fdt)
         tm[:Ntp] = ((w[i0] > 0) & (w[i1] > 0)).astype(float)
         # padding rows: v0 == v1 would produce NaN in the error; give them
         # benign geometry (masked anyway)
@@ -464,20 +493,138 @@ def _padded_shard_arrays(arrays, n_dev):
         tv1[Ntp:] = [0.1, 0, 1.0]
     else:
         Ntpad = n_dev
-        tv0 = np.tile([0, 0, 1.0], (Ntpad, 1))
-        tv1 = np.tile([0.1, 0, 1.0], (Ntpad, 1))
+        tv0 = np.tile(np.asarray([0, 0, 1.0], fdt), (Ntpad, 1))
+        tv1 = np.tile(np.asarray([0.1, 0, 1.0], fdt), (Ntpad, 1))
         te0 = np.zeros(Ntpad, np.int32)
         te1 = np.zeros(Ntpad, np.int32)
-        tm = np.zeros(Ntpad)
+        tm = np.zeros(Ntpad, fdt)
     return tuple(jnp.asarray(a) for a in
                  (obs_p, idx_p, mask_b, obsp_p, idxp_p, mask_p,
                   tv0, tv1, te0, te1, tm))
 
 
+# ----------------------------------------------------------------------------
+# PRODUCTION sharded solver: device-resident while_loop, psum per iteration
+# ----------------------------------------------------------------------------
+
+_SHARDED_SOLVER_CACHE = {}
+
+
+def _make_sharded_ne_fn(spec: ProblemSpec, mesh, axis="obs"):
+    """ne_fn(b, (rep, sh)) for the device-resident LM while_loop: ONE
+    shard_map'd normal-equation evaluation per call.  Block outputs are
+    psum'd over ICI (a few MB per LM iteration); residual ROWS stay
+    sharded over the observation axis (carried through the loop, consumed
+    by outlier rejection at the end)."""
+    from jax import shard_map
+
+    out_specs = dict(E=P(), g_c=P(), g_f=P(), g_p=P(), Hcc=P(), Hff=P(),
+                     Cf=P(), Hpp=P(), Cp=P(),
+                     x_board=P(axis), x_point=P(axis), x_tri=P(axis),
+                     x_reg=P())
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(axis)),
+             out_specs=out_specs, check_vma=False)
+    def fn(b, rep, sh):
+        arr = dict(rep)
+        arr["observations_board"] = sh["obs_board"]
+        arr["indices_board"] = sh["idx_board"]
+        arr["observations_point"] = sh["obs_point"]
+        arr["indices_point"] = sh["idx_point"]
+        arr["tri_v0"] = sh["tv0"]
+        arr["tri_v1"] = sh["tv1"]
+        arr["tri_ice0"] = sh["te0"]
+        arr["tri_ice1"] = sh["te1"]
+        arr["tri_mask"] = sh["tm"]
+        ne = _local_normal_equations(spec, b, arr, sh["mask_b"],
+                                     sh["mask_p"])
+        x = {k: ne.pop(k) for k in ("x_board", "x_point", "x_tri")}
+        ne = jax.tree.map(partial(jax.lax.psum, axis_name=axis), ne)
+        reg = _reg_contrib(spec, b, arr)          # replicated, tiny
+        ne["E"] = ne["E"] + reg["E"]
+        ne["g_c"] = ne["g_c"] + reg["g_c"]
+        ne["Hcc"] = ne["Hcc"] + reg["Hcc"]
+        ne.update(x)
+        ne["x_reg"] = reg["x_reg"]
+        return ne
+
+    def ne_fn(b, arrays):
+        rep, sh = arrays
+        return fn(b, rep, sh)
+
+    return ne_fn
+
+
+def _shard_arrays_for_device_solver(arrays, n_dev):
+    """(replicated, sharded) pytrees for sharded_lm_solve_device."""
+    (obs_p, idx_p, mask_b, obsp_p, idxp_p, mask_p,
+     tv0, tv1, te0, te1, tm) = _padded_shard_arrays(arrays, n_dev)
+    rep = {k: jnp.asarray(arrays[k])
+           for k in ("intrinsics", "extrinsics", "frames", "points",
+                     "calobject_warp")}
+    sh = dict(obs_board=obs_p, idx_board=idx_p, mask_b=mask_b,
+              obs_point=obsp_p, idx_point=idxp_p, mask_p=mask_p,
+              tv0=tv0, tv1=tv1, te0=te0, te1=te1, tm=tm)
+    return rep, sh
+
+
+def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
+                            max_iterations=300, update_threshold=1e-7,
+                            dtype=None, quiet=False, lam0=1e-4, ftol=None,
+                            axis="obs"):
+    """PRODUCTION multi-chip solve: the device-resident trust-region LM
+    while_loop (IDENTICAL body to the single-chip lm_solve_device — gain
+    ratio, windowed ftol plateau, dynamic iteration bounds) with the
+    normal equations evaluated via shard_map over the mesh's observation
+    axis.  One NE evaluation and one small psum'd block reduction per LM
+    iteration; the Schur solve runs replicated.
+
+    Same return contract as lm_solve_device: (b, E, niter, ne) with
+    unpadded residual vectors in ne — so optimize()'s outlier-rejection
+    outer loop and mixed-precision pipeline work unchanged on a mesh."""
+    from ..optimize.solver import (_make_device_lm, _cast_arrays,
+                                   _effective_threshold,
+                                   _run_device_lm_chunked,
+                                   _use_chunked_dispatch)
+    n_dev = mesh.devices.size
+    if dtype is not None:
+        arrays = _cast_arrays(arrays, dtype)
+        b0 = jnp.asarray(b0, dtype)
+    b0 = jnp.asarray(b0)
+    eff_threshold = _effective_threshold(update_threshold, b0.dtype, quiet)
+    if ftol is None:
+        ftol = 1e-6 if b0.dtype == jnp.float32 else 1e-10
+    rep, sh = _shard_arrays_for_device_solver(arrays, n_dev)
+
+    key = (spec, tuple(int(d.id) for d in mesh.devices.flat), axis)
+    solve = _SHARDED_SOLVER_CACHE.get(key)
+    if solve is None:
+        solve = _make_device_lm(spec, _make_sharded_ne_fn(spec, mesh, axis))
+        _SHARDED_SOLVER_CACHE[key] = solve
+
+    if _use_chunked_dispatch():
+        b, ne, it = _run_device_lm_chunked(
+            solve, b0, (rep, sh), max_iterations, eff_threshold, lam0, ftol)
+    else:
+        b, ne, it = solve(b0, (rep, sh),
+                          jnp.asarray(max_iterations, jnp.int32),
+                          jnp.asarray(eff_threshold, b0.dtype),
+                          jnp.asarray(lam0, b0.dtype),
+                          jnp.asarray(ftol, b0.dtype))
+    ne = dict(ne)
+    # strip shard padding; flatten to the unsharded solver's contract
+    ne["x_board"] = ne["x_board"][:spec.Nobservations_board].reshape(-1)
+    ne["x_point"] = ne["x_point"][:spec.Nobservations_point].reshape(-1)
+    ne["x_tri"] = ne["x_tri"][:spec.num_measurements_points_triangulated]
+    return b, float(ne["E"]), int(it), ne
+
+
 def sharded_lm_solve(spec: ProblemSpec, arrays, b0, mesh,
                      max_iterations=50, update_threshold=1e-7):
     """LM to convergence with observation sharding (host loop over the
-    jitted sharded step)."""
+    jitted sharded step).  Legacy/debug path — the production API is
+    sharded_lm_solve_device (device-resident while_loop) reached through
+    optimize(..., mesh=...)."""
     n_dev = mesh.devices.size
     shard_args = _padded_shard_arrays(arrays, n_dev)
     step_fn = sharded_lm_step(spec, mesh)(arrays)

@@ -21,18 +21,31 @@ Two mechanisms:
 
 import contextlib
 import os
+import threading
 import time
 
-# accumulated {qualified phase name: seconds}; qualified = "/".join(stack)
+# accumulated {qualified phase name: seconds}; qualified = "/".join(stack).
+# The accumulators are process-global (guarded by _lock); the phase STACK is
+# thread-local so concurrent optimize() calls (or user phase() blocks on
+# other threads) can't interleave each other's "outer/inner" names.
 _acc = {}
 _counts = {}
-_stack = []
+_lock = threading.Lock()
+_tls = threading.local()
+
+
+def _stack():
+    s = getattr(_tls, "stack", None)
+    if s is None:
+        s = _tls.stack = []
+    return s
 
 
 def reset():
     """Clear accumulated phase timings."""
-    _acc.clear()
-    _counts.clear()
+    with _lock:
+        _acc.clear()
+        _counts.clear()
 
 
 def timings():
@@ -50,16 +63,18 @@ def counts():
 @contextlib.contextmanager
 def phase(name):
     """Time a named phase (nestable; nested names join with '/')."""
-    _stack.append(name)
-    key = "/".join(_stack)
+    stack = _stack()
+    stack.append(name)
+    key = "/".join(stack)
     t0 = time.perf_counter()
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
-        _stack.pop()
-        _acc[key] = _acc.get(key, 0.0) + dt
-        _counts[key] = _counts.get(key, 0) + 1
+        stack.pop()
+        with _lock:
+            _acc[key] = _acc.get(key, 0.0) + dt
+            _counts[key] = _counts.get(key, 0) + 1
 
 
 @contextlib.contextmanager

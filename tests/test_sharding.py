@@ -56,6 +56,44 @@ def test_sharded_solve_matches_unsharded(problem):
     assert np.allclose(b1, b8, atol=1e-7)
 
 
+def test_production_sharded_device_solve_matches_unsharded(problem):
+    """The PRODUCTION mesh path (device-resident while_loop + psum per
+    iteration) against the single-chip device solver: same trajectory."""
+    scene, oi, spec, arrays, b0 = problem
+    from mrcal_tpu.optimize.solver import lm_solve_device
+    from mrcal_tpu.parallel import sharded_lm_solve_device
+
+    b_u, E_u, it_u, ne_u = lm_solve_device(spec, arrays, b0,
+                                           max_iterations=40)
+    mesh = make_mesh(8)
+    b_s, E_s, it_s, ne_s = sharded_lm_solve_device(spec, arrays, b0, mesh,
+                                                   max_iterations=40)
+    assert np.isclose(E_u, E_s, rtol=1e-10)
+    assert np.allclose(np.asarray(b_u), np.asarray(b_s), atol=1e-9)
+    # residual-vector contract identical (outlier rejection consumes these)
+    for k in ("x_board", "x_point", "x_tri", "x_reg"):
+        assert np.asarray(ne_s[k]).shape == np.asarray(ne_u[k]).shape, k
+        assert np.allclose(np.asarray(ne_s[k]), np.asarray(ne_u[k]),
+                           atol=1e-9), k
+
+
+def test_optimize_mesh_kwarg(problem):
+    """optimize(..., mesh=8) — the production API — matches the unsharded
+    production solve including outlier rejection and writeback."""
+    import copy
+    scene, oi, spec, arrays, b0 = problem
+    oi1 = copy.deepcopy(oi)
+    oi2 = copy.deepcopy(oi)
+    s1 = mrcal.optimize(**oi1)
+    s2 = mrcal.optimize(**oi2, mesh=8)
+    assert np.isclose(s1["rms_reproj_error__pixels"],
+                      s2["rms_reproj_error__pixels"], rtol=1e-9)
+    assert s1["Noutliers"] == s2["Noutliers"]
+    assert np.allclose(oi1["intrinsics"], oi2["intrinsics"], atol=1e-7)
+    assert np.allclose(oi1["extrinsics_rt_fromref"],
+                       oi2["extrinsics_rt_fromref"], atol=1e-9)
+
+
 def test_sharded_solve_agrees_with_host_solver(problem):
     scene, oi, spec, arrays, b0 = problem
     from mrcal_tpu.optimize.solver import lm_solve
@@ -147,3 +185,14 @@ def test_sharded_triangulated_solve():
                                       max_iterations=40)
     assert np.isclose(E_host, E_mesh, rtol=1e-6)
     assert np.allclose(np.asarray(b_host), np.asarray(b_mesh), atol=1e-5)
+
+    # production device-resident path on the pair-sharded problem
+    from mrcal_tpu.optimize.solver import lm_solve_device
+    from mrcal_tpu.parallel import sharded_lm_solve_device
+    b_u, E_u, _, ne_u = lm_solve_device(spec, arrays, b0, max_iterations=40)
+    b_s, E_s, _, ne_s = sharded_lm_solve_device(spec, arrays, b0, mesh,
+                                                max_iterations=40)
+    assert np.isclose(E_u, E_s, rtol=1e-10)
+    assert np.allclose(np.asarray(b_u), np.asarray(b_s), atol=1e-8)
+    assert np.allclose(np.asarray(ne_s["x_tri"]), np.asarray(ne_u["x_tri"]),
+                       atol=1e-9)

@@ -216,13 +216,37 @@ def test_moving_mean_pcam_statistical(calibrated_moving):
     _check_var(Var_pred, np.cov(np.array(qs).T), Nsamples)
 
 
-def test_moving_ccp_raises(calibrated_moving):
-    """ccp is stationary-only (the reference's C machinery fits one
-    rt_cam*_cam* per camera frame); a moving camera must raise."""
+def test_moving_ccp_statistical(calibrated_moving):
+    """Moving camera with cross-reprojection-ccp: each measurement row
+    conjugates the perturbation by ITS OWN extrinsics (the reference's
+    per-row Jcross accumulation, uncertainty.c:1189-1260), so one
+    rt_cam*_cam* is fit to the whole extrinsics block.  Validate the
+    prediction against the ccp-defined spread over re-solved noisy
+    replicas (b_s from REAL re-solves; K maps the state perturbation to
+    the implied camera motion)."""
     oi = calibrated_moving
     model = mrcal.cameramodel(optimization_inputs=oi, icam_intrinsics=0)
-    with pytest.raises(NotImplementedError):
-        mrcal.projection_uncertainty(
-            np.array([0.1, -0.05, 2.0]), model,
-            method="cross-reprojection-ccp",
-            observed_pixel_uncertainty=SIGMA)
+    p_cam = np.array([0.1, -0.05, 2.0])
+    Var_pred = np.asarray(mrcal.projection_uncertainty(
+        p_cam, model, method="cross-reprojection-ccp",
+        observed_pixel_uncertainty=SIGMA))
+    assert Var_pred.shape == (2, 2)
+    assert np.all(np.linalg.eigvalsh(Var_pred) > 0)
+
+    kw = normalize_inputs(oi)
+    spec = spec_from_inputs(**kw)
+    K = drt_cross_reprojection__dbpacked(icam_intrinsics=0, **kw)
+    arrays = arrays_from_inputs(**kw)
+    b0 = np.asarray(pack_params(params_from_arrays(arrays), spec))
+
+    Nsamples = 100
+    qs = []
+    for oi_s in _noisy_replicas(oi, Nsamples, seed=33):
+        arrays_s = arrays_from_inputs(**normalize_inputs(oi_s))
+        b_s = np.asarray(pack_params(params_from_arrays(arrays_s), spec))
+        rt_cc = K @ (b_s - b0)
+        p_star = np.asarray(pu.transform_point_rt(
+            pu.invert_rt(rt_cc), p_cam))
+        qs.append(np.asarray(mrcal.project(
+            p_star, oi["lensmodel"], np.asarray(oi_s["intrinsics"][0]))))
+    _check_var(Var_pred, np.cov(np.array(qs).T), Nsamples)
