@@ -233,6 +233,23 @@ class cameramodel:
                 imagersize=np.asarray(oi["imagersizes"][icam]),
                 optimization_inputs=oi,
                 icam_intrinsics=icam)
+            # the camera's pose comes from the solve (reference
+            # cameramodel.py: a stationary camera's rt_cam_ref is the
+            # corresponding extrinsics row; a camera AT the reference
+            # keeps the identity; a moving camera has no single pose)
+            try:
+                from .optimize import corresponding_icam_extrinsics
+                ice = corresponding_icam_extrinsics(icam, **oi)
+                self._icam_extrinsics = ice
+                if ice is not None and ice >= 0:
+                    self._rt_cam_ref = np.array(
+                        np.asarray(oi["extrinsics_rt_fromref"]
+                                   if oi.get("extrinsics_rt_fromref")
+                                   is not None
+                                   else oi["rt_cam_ref"]).reshape(-1, 6)
+                        [ice], dtype=float)
+            except Exception:
+                pass          # moving camera: no single extrinsics row
             return
 
         intrinsics = kwargs.get("intrinsics")

@@ -10,9 +10,13 @@ every cholmod_solve2 system.  Here:
     a few-thousand-state Cholesky is microseconds there, and every
     reference solve mode is expressed through (L, P=I);
   - larger (SfM-scale) problems with a scipy-sparse J keep JtJ sparse and
-    factor with SuperLU (scipy.sparse.linalg.splu) — O(nnz) memory like
-    the reference's CHOLMOD, supporting the 'A' system (the one the
-    uncertainty machinery uses).
+    factor with SuperLU driven in SYMMETRIC mode (fill-reducing symmetric
+    permutation, diagonal pivoting threshold 0): for an SPD matrix this
+    yields P JtJ P' = L_unit D L_unit' with U = D L_unit', i.e. a genuine
+    sparse Cholesky L = L_unit sqrt(D) — so every split solve system
+    (L/Lt/LD/DLt/P/Pt) is available at O(nnz) memory, like the
+    reference's CHOLMOD path.  The P/L/Lt/Pt solves compose to the 'A'
+    solve exactly as CHOLMOD's do.
 """
 
 import numpy as np
@@ -29,12 +33,14 @@ class CHOLMOD_factorization:
 
     Accepts J as a scipy sparse matrix (like the reference) or a dense
     array.  Dense path: LL^T with no fill-reducing permutation (P/Pt are
-    identity).  Sparse path (Nstate > 4096, scipy-sparse J): SuperLU on
-    the sparse JtJ; only the 'A' solve system is available there."""
+    identity).  Sparse path (Nstate > 4096, scipy-sparse J): sparse
+    Cholesky via SuperLU symmetric mode; all solve systems supported,
+    with a real fill-reducing permutation P."""
 
     def __init__(self, J=None, JtJ=None, *, force_dense=None):
         self._lu = None
         self._L = None
+        self._Lc = None
         sparse_in = J is not None and hasattr(J, "tocsc")
         n = (J.shape[1] if J is not None
              else np.asarray(JtJ).shape[-1])
@@ -46,8 +52,27 @@ class CHOLMOD_factorization:
             import scipy.sparse.linalg
             Jc = J.tocsc()
             JtJ_s = (Jc.T @ Jc).tocsc()
-            self._lu = scipy.sparse.linalg.splu(JtJ_s)
+            # symmetric mode + zero diagonal-pivot threshold: no numerical
+            # row pivoting, so for SPD input  P A P' = L_unit U  with
+            # U = D L_unit'  — an LDLt == Cholesky factorization
+            self._lu = scipy.sparse.linalg.splu(
+                JtJ_s, permc_spec="MMD_AT_PLUS_A", diag_pivot_thresh=0.0,
+                options=dict(SymmetricMode=True))
             self._n = n
+            d = self._lu.U.diagonal()
+            if np.any(d <= 0) or not np.all(np.isfinite(d)):
+                raise Exception("JtJ is not positive definite")
+            self._d = np.asarray(d)
+            # the sparse Cholesky factor L = L_unit sqrt(D), lower tri
+            self._Lc = (self._lu.L @
+                        scipy.sparse.diags(np.sqrt(self._d))).tocsr()
+            self._LcT = self._Lc.T.tocsr()
+            # SymmetricMode keeps rows and columns identically permuted.
+            # Convention check (tested): Lc Lc' == JtJ[pi, pi] with
+            # pi = argsort(perm_c) — i.e. the factorization's P maps
+            # through the INVERSE of SuperLU's perm_c
+            self._perm = np.argsort(np.asarray(self._lu.perm_c))
+            self._perm_inv = np.asarray(self._lu.perm_c)
             return
 
         if JtJ is None:
@@ -65,23 +90,35 @@ class CHOLMOD_factorization:
         """Solve xt JtJ = bt for xt, broadcasting over leading dims of bt
         (reference modes: CHOLMOD_A/LDLt/LD/DLt/L/Lt/D/P/Pt).
 
-        Dense path: D = I, LD==L, DLt==Lt, P==Pt==I.  Sparse path
-        supports 'A' only (SuperLU does not expose the split systems)."""
+        Dense path: P==Pt==I, D==I (LL^T), LD==L, DLt==Lt.  Sparse path:
+        real fill-reducing P; solve(P)∘solve(L)∘solve(Lt)∘solve(Pt)
+        composes to solve(A), exactly like chaining cholmod_solve2
+        systems against an LL^T factor."""
         if sys is not None:
             mode = sys
         mode = mode.replace("CHOLMOD_", "")
 
         if self._lu is not None:
-            if mode not in ("A", "LDLt"):
-                raise NotImplementedError(
-                    f"sparse factorization supports mode='A' only; "
-                    f"got '{mode}'. Build with force_dense=True for the "
-                    "split L/Lt/D/P systems")
+            import scipy.sparse.linalg as spla
             bt = np.asarray(bt, dtype=np.float64)
-            rhs = np.atleast_2d(bt)
-            lead = rhs.shape[:-1]
-            x = self._lu.solve(rhs.reshape(-1, self._n).T).T
-            return x.reshape(lead + (self._n,)).reshape(bt.shape)
+            rhs2 = np.atleast_2d(bt).reshape(-1, self._n)
+            if mode in ("A", "LDLt"):
+                x = self._lu.solve(rhs2.T).T
+            elif mode in ("L", "LD"):
+                x = spla.spsolve_triangular(
+                    self._Lc, rhs2.T, lower=True).T
+            elif mode in ("Lt", "DLt"):
+                x = spla.spsolve_triangular(
+                    self._LcT, rhs2.T, lower=False).T
+            elif mode == "P":
+                x = rhs2[:, self._perm]
+            elif mode == "Pt":
+                x = rhs2[:, self._perm_inv]
+            elif mode == "D":
+                x = rhs2
+            else:
+                raise Exception(f"Unknown solve mode '{mode}'")
+            return x.reshape(bt.shape)
 
         bt = jnp.asarray(bt)
         rhs = jnp.swapaxes(jnp.atleast_2d(bt), -1, -2)    # columns
@@ -108,10 +145,12 @@ class CHOLMOD_factorization:
 
     def rcond(self):
         """Reciprocal condition-number estimate (reference:
-        CHOLMOD_factorization_rcond).  Dense: from the Cholesky diagonal;
-        sparse: from the U diagonal of the LU factors."""
+        CHOLMOD_factorization_rcond = min/max of the factor diagonal).
+        Dense: from the Cholesky diagonal; sparse: from the D diagonal of
+        the symmetric LDLt — the same quantity CHOLMOD reports (cholmod
+        rcond uses the diagonal of the factor), not the loose row-pivoted
+        LU estimate."""
         if self._lu is not None:
-            d = np.abs(self._lu.U.diagonal())
-            return float(d.min() / d.max())
+            return float(self._d.min() / self._d.max())
         d = jnp.abs(jnp.diagonal(self._L)) ** 2
         return float(jnp.min(d) / jnp.max(d))

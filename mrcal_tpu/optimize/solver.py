@@ -685,7 +685,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     b = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
     if ftol is None:
-        ftol = 1e-6 if b.dtype == jnp.float32 else 1e-10
+        ftol = 3e-6 if b.dtype == jnp.float32 else 1e-10
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
     lam = lam0
@@ -704,7 +704,9 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
         if verbose:
             print(f"iter {it}: E={E:.6e} Enew={E_new:.6e} lam={lam:.2e} "
                   f"rho={rho:.3f} |db|={float(jnp.max(jnp.abs(db))):.2e}")
-        step_small = float(jnp.max(jnp.abs(db))) < eff_threshold \
+        # small AND non-worsening (see lm_solve_device's while_loop body)
+        step_small = (float(jnp.max(jnp.abs(db))) < eff_threshold
+                      and E_new <= E and np.isfinite(E_new)) \
             if db.size else True
         if E_new < E and np.isfinite(E_new):
             b, ne, E = b_new, ne_new, E_new
@@ -1070,12 +1072,14 @@ def _make_device_lm(spec: ProblemSpec, ne_fn):
             E_try = ne_try["E"]
             rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
             accept = (E_try < E) & jnp.isfinite(E_try)
-            # converged when the PROPOSED step is below the threshold,
-            # accepted or not (libdogleg semantics: a rejected tiny step
-            # means the damped model cannot improve -> we are done; gating
-            # on acceptance burns many reject iterations at convergence
-            # while lambda climbs)
-            small = jnp.max(jnp.abs(db)) < update_threshold
+            # converged when the proposed step is below the threshold AND
+            # non-worsening.  (With Marquardt lam*diag damping, a REJECT
+            # cascade's huge lam shrinks the proposed step below the
+            # threshold while far from the optimum — the old accept-or-not
+            # test fired there.  An equal-E tiny step still terminates:
+            # at the exact optimum E_try == E and accept is False.)
+            small = (jnp.max(jnp.abs(db)) < update_threshold) & \
+                (E_try <= E) & jnp.isfinite(E_try)
 
             b = jnp.where(accept, b_try, b)
             ne = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -1192,7 +1196,7 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     if ftol is None:
         # f32 grinds at its ~1e-7 relative-E precision floor; f64 at
         # roundoff.  Terminate when accepted improvements fall below it.
-        ftol = 1e-6 if b0.dtype == jnp.float32 else 1e-10
+        ftol = 3e-6 if b0.dtype == jnp.float32 else 1e-10
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
     if _use_chunked_dispatch():
         b, ne, it = _run_device_lm_chunked(

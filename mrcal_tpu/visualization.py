@@ -71,17 +71,70 @@ def show_geometry(models_or_extrinsics_rt_fromref,
     return _finish(fig, hardcopy)
 
 
+def _overlay_observations(ax, model_or_oi, icam_intrinsics=None):
+    """Scatter the calibration-time board-corner observations of this
+    camera over the plot (reference option observations=True,
+    visualization.py:1702-1745)."""
+    oi = (model_or_oi.optimization_inputs()
+          if hasattr(model_or_oi, "optimization_inputs") else model_or_oi)
+    if oi is None:
+        return
+    if icam_intrinsics is None and \
+            hasattr(model_or_oi, "icam_intrinsics"):
+        icam_intrinsics = model_or_oi.icam_intrinsics()
+    obs = oi.get("observations_board")
+    idx = oi.get("indices_frame_camintrinsics_camextrinsics")
+    if obs is None or idx is None:
+        return
+    obs = np.asarray(obs)
+    idx = np.asarray(idx)
+    if icam_intrinsics is not None:
+        obs = obs[idx[:, 1] == icam_intrinsics]
+    q = obs.reshape(-1, 3)
+    inl = q[:, 2] > 0
+    ax.plot(q[inl, 0], q[inl, 1], ".", ms=1, color="black", alpha=0.25,
+            label="observations")
+    if np.any(~inl):
+        ax.plot(q[~inl, 0], q[~inl, 1], "x", ms=3, color="red", alpha=0.6,
+                label="outliers")
+
+
+def _overlay_valid_region(ax, model, color="green"):
+    """Draw the model's valid-intrinsics region polygon
+    (reference option valid_intrinsics_region=True)."""
+    if not hasattr(model, "valid_intrinsics_region"):
+        return
+    region = model.valid_intrinsics_region()
+    if region is None:
+        return
+    region = np.asarray(region)
+    ax.plot(region[:, 0], region[:, 1], "-", color=color, lw=1.5,
+            label="valid-intrinsics region")
+
+
 def show_projection_diff(models, *, gridn_width=60, gridn_height=None,
                          distance=None, vectorfield=False,
+                         vectorscale=1.0,
                          intrinsics_only=False,
+                         use_uncertainties=False,
+                         focus_center=None, focus_radius=-1,
+                         observations=False,
+                         valid_intrinsics_region=False,
+                         contours=False,
                          cbmax=4, title=None, hardcopy=None, **kwargs):
     """Heatmap/vectorfield of the projection difference between models
     (reference: visualization.py:1039).  len(models)>2 shows the RMS
-    heatmap vs model 0 (vectorfield needs exactly 2 models)."""
+    heatmap vs model 0 (vectorfield needs exactly 2 models).
+
+    observations / valid_intrinsics_region / contours overlay the
+    calibration observations, each model's valid region, and labeled
+    iso-difference contour lines (reference option set)."""
     from .model_analysis import projection_diff
     difflen, diff, q0, Rt10 = projection_diff(
         models, gridn_width=gridn_width, gridn_height=gridn_height,
-        distance=distance, intrinsics_only=intrinsics_only)
+        distance=distance, intrinsics_only=intrinsics_only,
+        use_uncertainties=use_uncertainties,
+        focus_center=focus_center, focus_radius=focus_radius)
     difflen = np.asarray(difflen)
     q0 = np.asarray(q0)
     if vectorfield and diff is None:
@@ -89,23 +142,43 @@ def show_projection_diff(models, *, gridn_width=60, gridn_height=None,
     fig, ax = _new_axes(title or "Projection diff (pixels)")
     if vectorfield:
         diff = np.asarray(diff)
-        ax.quiver(q0[..., 0], q0[..., 1], diff[..., 0], diff[..., 1])
+        ax.quiver(q0[..., 0], q0[..., 1],
+                  diff[..., 0] * vectorscale, diff[..., 1] * vectorscale,
+                  difflen)
         ax.invert_yaxis()
     else:
+        extent = (q0[..., 0].min(), q0[..., 0].max(),
+                  q0[..., 1].max(), q0[..., 1].min())
         im = ax.imshow(difflen, origin="upper", vmin=0, vmax=cbmax,
-                       extent=(q0[..., 0].min(), q0[..., 0].max(),
-                               q0[..., 1].max(), q0[..., 1].min()))
+                       extent=extent)
         fig.colorbar(im, ax=ax)
+        if contours:
+            cs = ax.contour(q0[..., 0], q0[..., 1], difflen,
+                            colors="white", linewidths=0.7)
+            ax.clabel(cs, inline=True, fontsize=7)
+    if observations:
+        _overlay_observations(ax, models[0])
+    if valid_intrinsics_region:
+        for m, c in zip(models, ("green", "orange", "cyan", "magenta")):
+            _overlay_valid_region(ax, m, color=c)
     return _finish(fig, hardcopy), difflen
 
 
 def show_projection_uncertainty(model, *, gridn_width=30, gridn_height=None,
                                 distance=None, isotropic=False,
                                 method="mean-pcam",
+                                observations=False,
+                                valid_intrinsics_region=False,
+                                contours=False,
                                 cbmax=3, title=None, hardcopy=None,
                                 observed_pixel_uncertainty=None, **kwargs):
     """Heatmap of projection uncertainty over the imager
-    (reference: visualization.py:1668)."""
+    (reference: visualization.py:1668).
+
+    observations=True overlays the calibration-time corner observations
+    (their density is what SHAPES this map — the reference draws them for
+    exactly that reason); valid_intrinsics_region=True the region
+    polygon; contours=True labeled iso-uncertainty lines."""
     from .model_analysis import projection_uncertainty
     W, H = model.imagersize()
     v, q = sample_imager_unproject(gridn_width, gridn_height, W, H,
@@ -124,6 +197,14 @@ def show_projection_uncertainty(model, *, gridn_width=30, gridn_height=None,
                    extent=(q[..., 0].min(), q[..., 0].max(),
                            q[..., 1].max(), q[..., 1].min()))
     fig.colorbar(im, ax=ax)
+    if contours:
+        cs = ax.contour(q[..., 0], q[..., 1], unc, colors="white",
+                        linewidths=0.7)
+        ax.clabel(cs, inline=True, fontsize=7)
+    if observations:
+        _overlay_observations(ax, model)
+    if valid_intrinsics_region:
+        _overlay_valid_region(ax, model)
     return _finish(fig, hardcopy), unc
 
 
@@ -272,16 +353,39 @@ def _board_residuals(optimization_inputs, x=None, icam_intrinsics=None):
 
 
 def show_residuals_board_observation(optimization_inputs, i_observation,
-                                     *, vectorscale=20, title=None,
+                                     *, from_worst=False,
+                                     vectorscale=20, circlescale=1.0,
+                                     cbmax=None, title=None,
                                      hardcopy=None, **kwargs):
     """Residual vectorfield for ONE board observation
-    (reference: visualization.py:3223)."""
+    (reference: visualization.py:3223).
+
+    from_worst=True indexes observations by DESCENDING worst-residual
+    rank instead of file order (i_observation=0 is then the worst one —
+    the reference's triage workflow); circlescale scales the outlier
+    markers."""
     res, obs, idx = _board_residuals(optimization_inputs)
-    fig, ax = _new_axes(title or f"Residuals: observation {i_observation}")
+    if from_worst:
+        worst = np.max(np.linalg.norm(res, axis=-1).reshape(
+            len(res), -1), axis=-1)
+        order = np.argsort(-worst)
+        i_observation = int(order[i_observation])
     o = obs[i_observation]
     r = res[i_observation]
-    ax.quiver(o[..., 0], o[..., 1], r[..., 0], r[..., 1],
-              np.linalg.norm(r, axis=-1))
+    iframe, ici = int(idx[i_observation][0]), int(idx[i_observation][1])
+    rms = float(np.sqrt(np.mean(np.sum(r * r, axis=-1))))
+    fig, ax = _new_axes(title or
+                        f"Residuals: observation {i_observation} "
+                        f"(frame {iframe}, cam {ici}); rms {rms:.3f} px")
+    mag = np.linalg.norm(r, axis=-1)
+    qv = ax.quiver(o[..., 0], o[..., 1], r[..., 0], r[..., 1], mag,
+                   clim=(0, cbmax) if cbmax else None)
+    fig.colorbar(qv, ax=ax)
+    out = o[..., 2] <= 0
+    if np.any(out):
+        ax.plot(o[..., 0][out], o[..., 1][out], "o", ms=8 * circlescale,
+                mfc="none", mec="red", label="outliers")
+        ax.legend()
     ax.invert_yaxis()
     return _finish(fig, hardcopy)
 

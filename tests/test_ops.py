@@ -84,8 +84,10 @@ def test_apply_homography():
 
 
 def test_cholmod_factorization_sparse_path():
-    """Nstate>4096 with a scipy-sparse J uses the O(nnz) SuperLU path;
-    mode-A solves must match the dense factorization."""
+    """Nstate>4096 with a scipy-sparse J uses the O(nnz) sparse-Cholesky
+    path (SuperLU symmetric mode); the FULL cholmod_solve2 system matrix
+    (A/LDLt/L/LD/Lt/DLt/P/Pt/D) must be available and consistent with the
+    dense factorization (reference: mrcal-pywrap.c:435-604)."""
     import scipy.sparse
     from mrcal_tpu.factorization import CHOLMOD_factorization
     rng = np.random.default_rng(0)
@@ -102,9 +104,29 @@ def test_cholmod_factorization_sparse_path():
     xs = np.asarray(fac_sparse.solve_xt_JtJ_bt(bt))
     xd = np.asarray(fac_dense.solve_xt_JtJ_bt(bt))
     assert np.allclose(xs, xd, rtol=1e-8, atol=1e-10)
-    # rcond agrees within an order of magnitude (different estimates)
+    # rcond: both now report the factor-diagonal ratio (CHOLMOD's
+    # estimate); the permutations differ so allow slack
     rs, rd = fac_sparse.rcond(), fac_dense.rcond()
     assert 0.01 < rs / rd < 100
-    import pytest
-    with pytest.raises(NotImplementedError):
-        fac_sparse.solve_xt_JtJ_bt(bt, mode="L")
+
+    # the split systems compose: P -> L -> Lt -> Pt == A  (CHOLMOD LL'
+    # chaining semantics), on BOTH paths
+    for fac in (fac_sparse, fac_dense):
+        y = np.asarray(fac.solve_xt_JtJ_bt(bt, mode="P"))
+        y = np.asarray(fac.solve_xt_JtJ_bt(y, mode="L"))
+        y = np.asarray(fac.solve_xt_JtJ_bt(y, mode="Lt"))
+        y = np.asarray(fac.solve_xt_JtJ_bt(y, mode="Pt"))
+        xa = np.asarray(fac.solve_xt_JtJ_bt(bt, mode="A"))
+        assert np.allclose(y, xa, rtol=1e-8, atol=1e-10)
+
+    # the sparse Cholesky factor reconstructs the permuted JtJ
+    JtJ = (J.T @ J).toarray()
+    p = fac_sparse._perm
+    Lc = fac_sparse._Lc.toarray()
+    assert np.allclose(Lc @ Lc.T, JtJ[np.ix_(p, p)], rtol=1e-9, atol=1e-9)
+
+    # L followed by Lt equals LDLt == A in the permuted basis: check the
+    # single-system solves against dense triangular algebra
+    z = np.asarray(fac_sparse.solve_xt_JtJ_bt(bt, mode="L"))
+    z_ref = np.linalg.solve(Lc, bt.T).T
+    assert np.allclose(z, z_ref, rtol=1e-8, atol=1e-10)

@@ -30,11 +30,11 @@ def _write_corners_vnl(path, scene):
     path.write_text("\n".join(lines) + "\n")
 
 
-def _run_tool(args):
+def _run_tool(args, stdin_text=None):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, TOOL] + args,
                        capture_output=True, text=True, env=env,
-                       timeout=1200)
+                       input=stdin_text, timeout=1200)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     return r.stdout
 
@@ -72,6 +72,31 @@ def test_calibrate_tool_focal_seed(tmp_path, scene2):
     assert m0.optimization_inputs() is not None
     # warp was solved (calobject_warp reported)
     assert "calobject_warp" in out
+
+
+def test_calibrate_tool_explore(tmp_path, scene2):
+    """--explore drops into a post-solve shell with models/stats and the
+    show_* helpers in scope (reference mrcal-calibrate-cameras:966-1023);
+    drive it non-interactively through stdin."""
+    scene = scene2
+    vnl = tmp_path / "corners.vnl"
+    _write_corners_vnl(vnl, scene)
+    out = _run_tool(["--corners-cache", str(vnl),
+                     "--lensmodel", "LENSMODEL_OPENCV4",
+                     "--focal", "750",
+                     "--object-spacing", str(scene["spacing"]),
+                     "--object-width-n", "8", "--object-height-n", "6",
+                     "--imagersize", "800", "600",
+                     "--outdir", str(tmp_path),
+                     "--explore",
+                     "*cam0*", "*cam1*"],
+                    stdin_text="print('NCAM', len(models));"
+                               "print('RMSOK', "
+                               "stats['rms_reproj_error__pixels'] < 0.1)\n"
+                               "exit()\n")
+    assert "mrcal explore shell" in out
+    assert "NCAM 2" in out
+    assert "RMSOK True" in out
 
 
 def test_calibrate_tool_model_seed(tmp_path, scene2):

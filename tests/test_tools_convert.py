@@ -79,6 +79,57 @@ def test_convert_lensmodel_resolve(tmp_path, solved_model):
     assert oi1 is not None and oi1["lensmodel"] == "LENSMODEL_OPENCV8"
 
 
+def test_convert_lensmodel_where_radius(tmp_path, solved_model):
+    """--where/--radius restrict the --sampled fit domain (reference
+    mrcal-convert-lensmodel:88-105): a small center region fit of a LEANER
+    model (OPENCV8 -> OPENCV4... here OPENCV4 -> PINHOLE) must beat the
+    full-imager fit INSIDE that region."""
+    path, m0 = solved_model
+    W, H = m0.imagersize()
+
+    out_all = tmp_path / "all.cameramodel"
+    _run("mrcal-convert-lensmodel",
+         ["--sampled", "--distance", "10", "--radius", "0",
+          "--outfile", str(out_all), "LENSMODEL_PINHOLE", path])
+    out_ctr = tmp_path / "center.cameramodel"
+    _run("mrcal-convert-lensmodel",
+         ["--sampled", "--distance", "10",
+          "--where", f"{(W-1)/2},{(H-1)/2}", "--radius", str(W / 5),
+          "--outfile", str(out_ctr), "LENSMODEL_PINHOLE", path])
+
+    m_all = mrcal.cameramodel(str(out_all))
+    m_ctr = mrcal.cameramodel(str(out_ctr))
+    # evaluate the center-region error of both fits
+    v, q = mrcal.sample_imager_unproject(20, 14, W, H, *m0.intrinsics(),
+                                         normalize=True)
+    v = np.asarray(v).reshape(-1, 3)
+    q = np.asarray(q).reshape(-1, 2)
+    ctr = np.linalg.norm(q - np.array([(W-1)/2, (H-1)/2]), axis=-1) < W / 5
+    err = {}
+    for name, m in (("all", m_all), ("ctr", m_ctr)):
+        qf = np.asarray(mrcal.project(v[ctr] * 10.0, *m.intrinsics()))
+        err[name] = np.median(np.linalg.norm(qf - q[ctr], axis=-1))
+    assert err["ctr"] <= err["all"] + 1e-9
+
+    # negative radius = margin rule; just verify it runs and loads
+    out_m = tmp_path / "margin.cameramodel"
+    _run("mrcal-convert-lensmodel",
+         ["--sampled", "--distance", "10", "--radius", str(-W / 4),
+          "--outfile", str(out_m), "LENSMODEL_OPENCV8", path])
+    mrcal.cameramodel(str(out_m))
+
+
+def test_convert_lensmodel_multidistance_trials(tmp_path, solved_model):
+    """--distance near,far + --num-trials (reference :63-82)."""
+    path, m0 = solved_model
+    out = tmp_path / "nf.cameramodel"
+    _run("mrcal-convert-lensmodel",
+         ["--sampled", "--distance", "3,1000", "--num-trials", "3",
+          "--outfile", str(out), "LENSMODEL_OPENCV8", path])
+    m1 = mrcal.cameramodel(str(out))
+    assert _median_proj_diff(m0, m1) < 0.1
+
+
 def test_graft_models(tmp_path, solved_model):
     """Output = intrinsics of A + extrinsics of B, byte-loadable."""
     path, m0 = solved_model

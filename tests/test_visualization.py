@@ -62,6 +62,41 @@ def test_show_projection_uncertainty(solved):
                                   unc[0, -1], unc[-1, 0]])
 
 
+def test_show_projection_uncertainty_overlays(solved):
+    """observations / valid-region / contour overlays (reference
+    visualization.py:1702-1745 option surface)."""
+    oi, m0, m1, d = solved
+    # give the model a valid-intrinsics region to draw
+    W, H = m0.imagersize()
+    m0r = mrcal.cameramodel(m0)
+    m0r.valid_intrinsics_region(np.array(
+        [[10, 10], [W - 10, 10], [W - 10, H - 10], [10, H - 10],
+         [10, 10]], dtype=float))
+    m0r.intrinsics(m0.intrinsics(),
+                   optimization_inputs=m0.optimization_inputs(),
+                   icam_intrinsics=0)
+    fig, unc = mrcal.show_projection_uncertainty(
+        m0r, gridn_width=8, distance=2.0, observations=True,
+        valid_intrinsics_region=True, contours=True,
+        observed_pixel_uncertainty=0.2, hardcopy=f"{d}/unc_ov.png")
+    assert os.path.exists(f"{d}/unc_ov.png")
+    # the overlays landed on the axes: scatter + region line present
+    ax = fig.axes[0]
+    assert len(ax.lines) >= 2
+
+    fig2, difflen = mrcal.show_projection_diff(
+        (m0, m1), gridn_width=12, observations=True, contours=True,
+        use_uncertainties=False, hardcopy=f"{d}/diff_ov.png")
+    assert os.path.exists(f"{d}/diff_ov.png")
+
+
+def test_show_residuals_board_observation_from_worst(solved):
+    oi, m0, m1, d = solved
+    mrcal.show_residuals_board_observation(
+        oi, 0, from_worst=True, cbmax=2.0, hardcopy=f"{d}/rb_worst.png")
+    assert os.path.exists(f"{d}/rb_worst.png")
+
+
 def test_show_uncertainty_vs_distance(solved):
     oi, m0, m1, d = solved
     fig, unc = mrcal.show_projection_uncertainty_vs_distance(
