@@ -209,6 +209,16 @@ def _run_config(cfg):
                 nstate=int(spec.Nstate), rms_px=round(rms, 4))
 
 
+def _rig16_frames(Nframes):
+    """Board poses visible to the whole 4x4 rig: mild tilts, 1.2-1.6 m
+    out, modest lateral sweep."""
+    rng = np.random.default_rng(7)
+    return np.concatenate([
+        rng.normal(0.0, 0.1, (Nframes, 3)),
+        np.array([[0.25, 0.2, 1.4]]) + rng.normal(0.0, 0.12, (Nframes, 3)),
+    ], axis=1)
+
+
 _SPLINED_MODEL = ("LENSMODEL_SPLINED_STEREOGRAPHIC"
                   "_order=3_Nx=30_Ny=18_fov_x_deg=150")
 
@@ -226,7 +236,19 @@ _CONFIG_THUNKS = [
     ("sfm_triangulated", _sfm_config),
     ("rig16cam", lambda: _board_config(
         "rig16cam", 0.5, Ncameras=16, Nframes=40,
-        model="LENSMODEL_OPENCV8", W=14, H=14)),
+        model="LENSMODEL_OPENCV8", W=14, H=14,
+        # a physical 4x4 rig: cameras on a 0.15 m grid, all facing the
+        # board (the default linear layout strings 16 cameras along a 3 m
+        # baseline where the far ones cannot plausibly see the board),
+        # and TAME board poses (the default +-0.9 rad random tilts swing
+        # board corners to z~0 for the outer rig cameras: 'perfect'
+        # observations at |q|~1e5 px make the basin microscopic and the
+        # perturbed solve falls out of it)
+        extrinsics_rt_fromref=np.array(
+            [[0.01 * (i % 4), 0.01 * (i // 4), 0.0,
+              -0.15 * (i % 4), -0.15 * (i // 4), 0.0]
+             for i in range(1, 16)]),
+        frames_rt_toref=_rig16_frames(40))),
 ]
 
 # generous per-config wall-clock: a COLD compile of the full while_loop

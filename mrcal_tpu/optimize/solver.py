@@ -685,7 +685,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     b = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
     if ftol is None:
-        ftol = 3e-6 if b.dtype == jnp.float32 else 1e-10
+        ftol = 1e-5 if b.dtype == jnp.float32 else 1e-9
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
     lam = lam0
@@ -1132,13 +1132,20 @@ def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
     execution runs for tens of seconds (empirically: the canonical splined
     solve at 2000 iterations ~16 s died; 300 iterations ~2.4 s is fine).
     Segment duration is adapted toward target_s from the measured
-    iteration rate, starting conservatively at chunk0 iterations."""
+    iteration rate; the measured rate is REMEMBERED on the solver object,
+    so repeat solves of the same problem (benchmark sustained runs,
+    outlier-rejection re-solves) size their first segment right and
+    usually finish in ONE dispatch."""
     import time as _time
     dt = b0.dtype
     thr = jnp.asarray(update_threshold, dt)
     ftol_d = jnp.asarray(ftol, dt)
     state = solve.start(b0, arrays, jnp.asarray(lam0, dt))
-    seg = int(chunk0)
+    rate_known = getattr(solve, "_it_rate", {}).get(str(dt))
+    if rate_known:
+        seg = int(min(max(rate_known * target_s, chunk0), 200_000))
+    else:
+        seg = int(chunk0)
     it_done = 0
     while True:
         stop_at = min(int(max_iterations), it_done + seg)
@@ -1149,11 +1156,18 @@ def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
         dt_seg = _time.perf_counter() - t0
         ran = max(it_new - it_done, 1)
         it_done = it_new
+        rate = ran / max(dt_seg, 1e-3)
+        if ran >= 32 and dt_seg > 0.05:
+            # a long-enough measured segment: remember the rate (skip
+            # compile-dominated first calls via the dt_seg floor... those
+            # UNDER-estimate, which is safe but slow; overwrite freely)
+            if not hasattr(solve, "_it_rate"):
+                solve._it_rate = {}
+            solve._it_rate[str(dt)] = rate
         if bool(state[7]) or it_done >= int(max_iterations):
             break
         # adapt: keep a single dispatch near target_s (first segment's
         # rate includes compile time -> conservative, self-corrects)
-        rate = ran / max(dt_seg, 1e-3)
         seg = int(min(max(chunk0, rate * target_s), 200_000))
     return state[0], state[1], state[4]
 
@@ -1196,7 +1210,7 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     if ftol is None:
         # f32 grinds at its ~1e-7 relative-E precision floor; f64 at
         # roundoff.  Terminate when accepted improvements fall below it.
-        ftol = 3e-6 if b0.dtype == jnp.float32 else 1e-10
+        ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-9
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
     if _use_chunked_dispatch():
         b, ne, it = _run_device_lm_chunked(

@@ -593,7 +593,7 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
     b0 = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b0.dtype, quiet)
     if ftol is None:
-        ftol = 3e-6 if b0.dtype == jnp.float32 else 1e-10
+        ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-9
     rep, sh = _shard_arrays_for_device_solver(arrays, n_dev)
 
     key = (spec, tuple(int(d.id) for d in mesh.devices.flat), axis)
