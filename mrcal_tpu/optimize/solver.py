@@ -685,7 +685,7 @@ def lm_solve(spec: ProblemSpec, arrays, b0,
     b = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b.dtype, quiet)
     if ftol is None:
-        ftol = 1e-5 if b.dtype == jnp.float32 else 1e-9
+        ftol = 1e-5 if b.dtype == jnp.float32 else 1e-6
     ne = ne_fn(b, arrays)
     E = float(ne["E"])
     lam = lam0
@@ -1210,18 +1210,21 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     if ftol is None:
         # f32 grinds at its ~1e-7 relative-E precision floor; f64 at
         # roundoff.  Terminate when accepted improvements fall below it.
-        ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-9
+        ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-6
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
-    if _use_chunked_dispatch():
-        b, ne, it = _run_device_lm_chunked(
-            solve, b0, arrays, max_iterations, eff_threshold, lam0, ftol,
-            chunk0=int(_os.environ.get("MRCAL_TPU_DEVICE_CHUNK") or 64))
-    else:
-        b, ne, it = solve(b0, arrays,
-                          jnp.asarray(max_iterations, jnp.int32),
-                          jnp.asarray(eff_threshold, b0.dtype),
-                          jnp.asarray(lam0, b0.dtype),
-                          jnp.asarray(ftol, b0.dtype))
+    with _matmul_precision_ctx(b0.dtype):
+        if _use_chunked_dispatch():
+            b, ne, it = _run_device_lm_chunked(
+                solve, b0, arrays, max_iterations, eff_threshold, lam0,
+                ftol,
+                chunk0=int(_os.environ.get("MRCAL_TPU_DEVICE_CHUNK")
+                           or 64))
+        else:
+            b, ne, it = solve(b0, arrays,
+                              jnp.asarray(max_iterations, jnp.int32),
+                              jnp.asarray(eff_threshold, b0.dtype),
+                              jnp.asarray(lam0, b0.dtype),
+                              jnp.asarray(ftol, b0.dtype))
     return b, float(ne["E"]), int(it), ne
 
 
@@ -1234,6 +1237,22 @@ def _use_chunked_dispatch():
     if env is not None:
         return int(env) > 0
     return jax.default_backend() != "cpu"
+
+
+def _matmul_precision_ctx(dtype):
+    """Trace-time matmul precision for the f32 solve phase on
+    accelerators.  TPU f32 matmuls default to bf16x3 passes; the noise in
+    J^T J / J^T r degrades the LM steps enough that the f32 phase crawls
+    (~1000 iterations where exact-arithmetic f32 takes ~50).
+    MRCAL_TPU_F32_MATMUL_PRECISION sets the jax precision name used for
+    f32 solves ('float32' = full-precision passes; '' disables).  Applied
+    around the solver's trace, so the setting bakes into the compiled
+    executable."""
+    import contextlib
+    prec = _os.environ.get("MRCAL_TPU_F32_MATMUL_PRECISION", "float32")
+    if prec and dtype == jnp.float32 and jax.default_backend() != "cpu":
+        return jax.default_matmul_precision(prec)
+    return contextlib.nullcontext()
 
 
 # ----------------------------------------------------------------------------

@@ -585,7 +585,8 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
     from ..optimize.solver import (_make_device_lm, _cast_arrays,
                                    _effective_threshold,
                                    _run_device_lm_chunked,
-                                   _use_chunked_dispatch)
+                                   _use_chunked_dispatch,
+                                   _matmul_precision_ctx)
     n_dev = mesh.devices.size
     if dtype is not None:
         arrays = _cast_arrays(arrays, dtype)
@@ -593,7 +594,7 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
     b0 = jnp.asarray(b0)
     eff_threshold = _effective_threshold(update_threshold, b0.dtype, quiet)
     if ftol is None:
-        ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-9
+        ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-6
     rep, sh = _shard_arrays_for_device_solver(arrays, n_dev)
 
     key = (spec, tuple(int(d.id) for d in mesh.devices.flat), axis)
@@ -602,15 +603,17 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
         solve = _make_device_lm(spec, _make_sharded_ne_fn(spec, mesh, axis))
         _SHARDED_SOLVER_CACHE[key] = solve
 
-    if _use_chunked_dispatch():
-        b, ne, it = _run_device_lm_chunked(
-            solve, b0, (rep, sh), max_iterations, eff_threshold, lam0, ftol)
-    else:
-        b, ne, it = solve(b0, (rep, sh),
-                          jnp.asarray(max_iterations, jnp.int32),
-                          jnp.asarray(eff_threshold, b0.dtype),
-                          jnp.asarray(lam0, b0.dtype),
-                          jnp.asarray(ftol, b0.dtype))
+    with _matmul_precision_ctx(b0.dtype):
+        if _use_chunked_dispatch():
+            b, ne, it = _run_device_lm_chunked(
+                solve, b0, (rep, sh), max_iterations, eff_threshold, lam0,
+                ftol)
+        else:
+            b, ne, it = solve(b0, (rep, sh),
+                              jnp.asarray(max_iterations, jnp.int32),
+                              jnp.asarray(eff_threshold, b0.dtype),
+                              jnp.asarray(lam0, b0.dtype),
+                              jnp.asarray(ftol, b0.dtype))
     ne = dict(ne)
     # strip shard padding; flatten to the unsharded solver's contract
     ne["x_board"] = ne["x_board"][:spec.Nobservations_board].reshape(-1)
