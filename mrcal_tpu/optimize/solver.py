@@ -546,53 +546,66 @@ def schur_step(ne, lam, spec: ProblemSpec):
     frame and point blocks, D = Marquardt diag(JtJ) scaling.  Returns
     (delta_c, delta_f, delta_p, pred) where pred is the model's predicted
     decrease of E: pred = -g.d + lam d.D.d (derivation: E(b+d) ~ E + 2g.d
-    + d.H.d with H d = -g - lam D d)."""
+    + d.H.d with H d = -g - lam D d).
+
+    The H blocks may carry a LOWER precision than the gradient (the
+    splined f64-on-TPU scheme stores H in f32): the factorization and
+    solves then run in H's dtype — inexact-Newton with an exact gradient
+    still converges to the exact optimum — and delta/pred are returned in
+    the gradient's dtype."""
     dt = ne["g_c"].dtype
+    hdt = ne["Hcc"].dtype
+    lam_h = jnp.asarray(lam, hdt)
     Nf = spec.Nframes
     Npv = spec.Npoints_variable
     dd_c = _damping_diag(ne["Hcc"])
-    Hcc = _damped(ne["Hcc"], lam, dd_c)
-    g_red = ne["g_c"]
+    Hcc = _damped(ne["Hcc"], lam_h, dd_c)
+    g_red = ne["g_c"].astype(hdt)
     H_red = Hcc
 
     if Nf:
         dd_f = _damping_diag(ne["Hff"][:Nf])
-        Af = _damped(ne["Hff"][:Nf], lam, dd_f)
+        Af = _damped(ne["Hff"][:Nf], lam_h, dd_f)
         Cf = ne["Cf"][:Nf]                                 # (Nf,6,Nc)
         gf = ne["g_f"][:Nf]
+        gf_h = gf.astype(hdt)
         _, solve_f = _block_solve(Af, Cf)
         AinvC = solve_f(Cf)
-        Ainvg = solve_f(gf[..., None])[..., 0]
+        Ainvg = solve_f(gf_h[..., None])[..., 0]
         H_red = H_red - jnp.einsum("fic,fid->cd", Cf, AinvC)
         g_red = g_red - jnp.einsum("fic,fi->c", Cf, Ainvg)
     if Npv:
         dd_p = _damping_diag(ne["Hpp"][:Npv])
-        Ap = _damped(ne["Hpp"][:Npv], lam, dd_p)
+        Ap = _damped(ne["Hpp"][:Npv], lam_h, dd_p)
         Cp = ne["Cp"][:Npv]
         gp = ne["g_p"][:Npv]
+        gp_h = gp.astype(hdt)
         _, solve_p = _block_solve(Ap, Cp)
         AinvCp = solve_p(Cp)
-        Ainvgp = solve_p(gp[..., None])[..., 0]
+        Ainvgp = solve_p(gp_h[..., None])[..., 0]
         H_red = H_red - jnp.einsum("fic,fid->cd", Cp, AinvCp)
         g_red = g_red - jnp.einsum("fic,fi->c", Cp, Ainvgp)
 
     Lc = jnp.linalg.cholesky(H_red)
     delta_c = -jax.scipy.linalg.cho_solve((Lc, True), g_red)
+    delta_c = delta_c.astype(dt)
 
     pred = -jnp.dot(ne["g_c"], delta_c) \
-        + lam * jnp.dot(delta_c, dd_c * delta_c)
+        + lam * jnp.dot(delta_c, dd_c.astype(dt) * delta_c)
     delta_f = jnp.zeros((max(Nf, 1), 6), dt)
     if Nf:
-        rhs = -(gf + jnp.einsum("fic,c->fi", Cf, delta_c))
-        delta_f = solve_f(rhs[..., None])[..., 0]
+        rhs = -(gf_h + jnp.einsum("fic,c->fi", Cf,
+                                  delta_c.astype(hdt)))
+        delta_f = solve_f(rhs[..., None])[..., 0].astype(dt)
         pred = pred - jnp.sum(gf * delta_f) \
-            + lam * jnp.sum(delta_f * (dd_f * delta_f))
+            + lam * jnp.sum(delta_f * (dd_f.astype(dt) * delta_f))
     delta_p = jnp.zeros((max(Npv, 1), 3), dt)
     if Npv:
-        rhs = -(gp + jnp.einsum("fic,c->fi", Cp, delta_c))
-        delta_p = solve_p(rhs[..., None])[..., 0]
+        rhs = -(gp_h + jnp.einsum("fic,c->fi", Cp,
+                                  delta_c.astype(hdt)))
+        delta_p = solve_p(rhs[..., None])[..., 0].astype(dt)
         pred = pred - jnp.sum(gp * delta_p) \
-            + lam * jnp.sum(delta_p * (dd_p * delta_p))
+            + lam * jnp.sum(delta_p * (dd_p.astype(dt) * delta_p))
     return delta_c, delta_f, delta_p, pred
 
 
@@ -1413,11 +1426,20 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
 
         Nc = cl.Nc
         E = jnp.sum(r * r)
+        # f64 on an accelerator: the H einsums run in f32 (the MXU path —
+        # emulated-f64 matmuls are catastrophically slow, ~100x) while the
+        # GRADIENT stays exact f64 via small scatter-adds.  Damped Newton
+        # with an approximate-but-SPD H and an exact g converges to the
+        # exact optimum; only the gradient's precision bounds the answer.
+        use_h32 = (dt == jnp.float64 and jax.default_backend() != "cpu"
+                   and _os.environ.get("MRCAL_TPU_SPLINED_F64_H32", "1")
+                   != "0")
+        hdt = jnp.float32 if use_h32 else dt
         g_c = jnp.zeros(Nc, dt)
-        Hcc = jnp.zeros((Nc, Nc), dt)
+        Hcc = jnp.zeros((Nc, Nc), hdt)
         g_f = jnp.zeros((max(Nf, 1), 6), dt)
-        Hff = jnp.zeros((max(Nf, 1), 6, 6), dt)
-        Cf = jnp.zeros((max(Nf, 1), 6, Nc), dt)
+        Hff = jnp.zeros((max(Nf, 1), 6, 6), hdt)
+        Cf = jnp.zeros((max(Nf, 1), 6, Nc), hdt)
 
         # ---- MXU assembly: expand each corner's sparse window Jacobian
         # into a dense camera-system row pair via ONE-HOT CONTRACTIONS
@@ -1462,30 +1484,47 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
             ifr_cc = dslice(ifr_p)
             # intrinsics block: (CH, 2, Nip_all)
             oh_w = (wincols_c[:, :, None] ==
-                    jnp.arange(Nip_all)[None, None, :]).astype(dt)
-            rows_i = jnp.einsum("nrw,nwk->nrk", Jw_c, oh_w)
-            parts = [rows_i]
-            if Nce:
-                oh_e = (jnp.maximum(ice_cc, 0)[:, None] ==
-                        jnp.arange(Nce)[None, :]).astype(dt)
-                rows_e = jnp.einsum("nri,nj->nrji", Je_c,
-                                    oh_e).reshape(-1, 2, 6 * Nce)
-                parts.append(rows_e)
+                    jnp.arange(Nip_all)[None, None, :]).astype(hdt)
+            with jax.default_matmul_precision("float32"):
+                rows_i = jnp.einsum("nrw,nwk->nrk",
+                                    Jw_c.astype(hdt), oh_w)
+                parts = [rows_i]
+                if Nce:
+                    oh_e = (jnp.maximum(ice_cc, 0)[:, None] ==
+                            jnp.arange(Nce)[None, :]).astype(hdt)
+                    rows_e = jnp.einsum("nri,nj->nrji", Je_c.astype(hdt),
+                                        oh_e).reshape(-1, 2, 6 * Nce)
+                    parts.append(rows_e)
+                else:
+                    parts.append(jnp.zeros((CH, 2, cl.w0 - cl.e0), hdt))
+                parts.append(Jwp_c.astype(hdt))
+                rows = jnp.concatenate(parts, axis=-1)    # (CH, 2, Nc)
+                Hcc = Hcc + jnp.einsum("nrc,nrd->cd", rows, rows)
+                if Nf:
+                    Hff = Hff + _seg(
+                        jnp.einsum("nri,nrj->nij", Jf_c.astype(hdt),
+                                   Jf_c.astype(hdt)),
+                        ifr_cc, num_segments=max(Nf, 1))
+                    Cf = Cf + _seg(
+                        jnp.einsum("nri,nrc->nic", Jf_c.astype(hdt),
+                                   rows),
+                        ifr_cc, num_segments=max(Nf, 1))
+            # the GRADIENT in full precision.  use_h32: small einsums +
+            # scatter-adds (no emulated-f64 matmuls); else: through rows
+            if use_h32:
+                gi = jnp.einsum("nrw,nr->nw", Jw_c, r_c)     # (CH, Nwin)
+                g_c = g_c.at[wincols_c].add(gi)
+                ge = jnp.einsum("nri,nr->ni", Je_c, r_c)     # (CH, 6)
+                cole = cl.e0 + 6 * jnp.maximum(ice_cc, 0)
+                g_c = g_c.at[cole[:, None]
+                             + jnp.arange(6)[None, :]].add(ge)
+                g_c = g_c.at[cl.w0:cl.w0 + 2].add(
+                    jnp.einsum("nri,nr->i", Jwp_c, r_c))
             else:
-                parts.append(jnp.zeros((CH, 2, cl.w0 - cl.e0), dt))
-            parts.append(Jwp_c)
-            rows = jnp.concatenate(parts, axis=-1)        # (CH, 2, Nc)
-            Hcc = Hcc + jnp.einsum("nrc,nrd->cd", rows, rows)
-            g_c = g_c + jnp.einsum("nrc,nr->c", rows, r_c)
+                g_c = g_c + jnp.einsum("nrc,nr->c", rows.astype(dt), r_c)
             if Nf:
                 g_f = g_f + _seg(
                     jnp.einsum("nri,nr->ni", Jf_c, r_c),
-                    ifr_cc, num_segments=max(Nf, 1))
-                Hff = Hff + _seg(
-                    jnp.einsum("nri,nrj->nij", Jf_c, Jf_c),
-                    ifr_cc, num_segments=max(Nf, 1))
-                Cf = Cf + _seg(
-                    jnp.einsum("nri,nrc->nic", Jf_c, rows),
                     ifr_cc, num_segments=max(Nf, 1))
             return (Hcc, g_c, g_f, Hff, Cf)
 
@@ -1524,7 +1563,7 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
                 if cl.Nip:
                     g_c = g_c.at[i0:i0 + cl.Nip].add(Jreg[ci].T @ rreg[ci])
                     Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(
-                        Jreg[ci].T @ Jreg[ci])
+                        (Jreg[ci].T @ Jreg[ci]).astype(hdt))
             ndist_terms = (spec.Ndistortions
                            if (s.do_apply_regularization
                                and s.do_optimize_intrinsics_distortions)
@@ -1537,8 +1576,8 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
         return dict(E=E, g_c=g_c, g_f=g_f,
                     g_p=jnp.zeros((max(Npv, 1), 3), dt),
                     Hcc=Hcc, Hff=Hff, Cf=Cf,
-                    Hpp=jnp.zeros((max(Npv, 1), 3, 3), dt),
-                    Cp=jnp.zeros((max(Npv, 1), 3, Nc), dt),
+                    Hpp=jnp.zeros((max(Npv, 1), 3, 3), hdt),
+                    Cp=jnp.zeros((max(Npv, 1), 3, Nc), hdt),
                     x_board=x_board,
                     x_point=jnp.zeros((0,), dt),
                     x_tri=jnp.zeros((0,), dt),
