@@ -1403,10 +1403,11 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
                       in_axes=(0, 0, 0, 0, 0, 0, None))(
             pose, win, ixy0, corner_xy, obs_c, core4,
             params["calobject_warp"])                    # dict of (N,2,*)
-        Jw = jax.vmap(jax.jacrev(corner_fn, argnums=1),
-                      in_axes=(0, 0, 0, 0, 0, 0, None))(
+        Jw4 = jax.vmap(jax.jacrev(corner_fn, argnums=1),
+                       in_axes=(0, 0, 0, 0, 0, 0, None))(
             pose, win, ixy0, corner_xy, obs_c, core4,
-            params["calobject_warp"]).reshape(N, 2, R * R * 2)
+            params["calobject_warp"])                    # (N,2,R,R,2)
+        Jw = Jw4.reshape(N, 2, R * R * 2)
 
         Je = _zero_if(s.do_optimize_extrinsics, Jp["ext"]) \
             * (ice_c >= 0)[:, None, None].astype(dt)
@@ -1458,11 +1459,15 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
                 axis=0) if Npad != N else a
 
         Jw_p = padN(Jw)
+        Jw4_p = padN(Jw4)
         Je_p = padN(Je)
         Jwp_p = padN(Jwp)
         Jf_p = padN(Jf)
         r_p = padN(r)
         wincols_p = padN(wincols, fill=0)
+        iyw_p = padN(iyw, fill=0)
+        ixw_p = padN(ixw, fill=0)
+        ici_p = padN(ici_c, fill=0)
         # padded corners: zero Jacobians contribute nothing
         ice_p = padN(ice_c, fill=-1)
         ifr_p = padN(ifr_c, fill=0)
@@ -1476,18 +1481,34 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
             def dslice(a):
                 return jax.lax.dynamic_slice_in_dim(a, i0_, CH, 0)
 
-            Jw_c, Je_c, Jwp_c, Jf_c, r_c = (
-                dslice(Jw_p), dslice(Je_p), dslice(Jwp_p), dslice(Jf_p),
-                dslice(r_p))
+            Jw_c, Jw4_c, Je_c, Jwp_c, Jf_c, r_c = (
+                dslice(Jw_p), dslice(Jw4_p), dslice(Je_p), dslice(Jwp_p),
+                dslice(Jf_p), dslice(r_p))
             wincols_c = dslice(wincols_p)
             ice_cc = dslice(ice_p)
             ifr_cc = dslice(ifr_p)
-            # intrinsics block: (CH, 2, Nip_all)
-            oh_w = (wincols_c[:, :, None] ==
-                    jnp.arange(Nip_all)[None, None, :]).astype(hdt)
+            iyw_cc = dslice(iyw_p)
+            ixw_cc = dslice(ixw_p)
+            ici_cc = dslice(ici_p)
             with jax.default_matmul_precision("float32"):
-                rows_i = jnp.einsum("nrw,nwk->nrk",
-                                    Jw_c.astype(hdt), oh_w)
+                # intrinsics rows (CH, 2, Nip): the one-hot FACTORS over
+                # the window's y and x axes — two small contractions
+                # instead of a (CH, 2R^2, Nip) one-hot tensor (which was
+                # ~280 MB/chunk of pure bandwidth; this is ~2 MB)
+                ohy = (iyw_cc[:, :, None] ==
+                       jnp.arange(lm.Ny)[None, None, :]).astype(hdt)
+                ohx = (ixw_cc[:, :, None] ==
+                       jnp.arange(lm.Nx)[None, None, :]).astype(hdt)
+                A_ = jnp.einsum("nrdek,ndy->nryek",
+                                Jw4_c.astype(hdt), ohy)
+                B_ = jnp.einsum("nryek,nex->nryxk", A_, ohx)
+                rows_i = B_.reshape(CH, 2, lm.Ny * lm.Nx * 2)
+                if spec.Ncameras_intrinsics > 1:
+                    oh_cam = (ici_cc[:, None] ==
+                              jnp.arange(spec.Ncameras_intrinsics)
+                              [None, :]).astype(hdt)
+                    rows_i = jnp.einsum("nrw,nc->nrcw", rows_i,
+                                        oh_cam).reshape(CH, 2, Nip_all)
                 parts = [rows_i]
                 if Nce:
                     oh_e = (jnp.maximum(ice_cc, 0)[:, None] ==
