@@ -1225,7 +1225,7 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
         # roundoff.  Terminate when accepted improvements fall below it.
         ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-6
     solve = _get_device_solver(spec, static_idx_key, static_idx, b0.dtype)
-    with _matmul_precision_ctx(b0.dtype):
+    with _matmul_precision_ctx(b0.dtype, spec):
         if _use_chunked_dispatch():
             b, ne, it = _run_device_lm_chunked(
                 solve, b0, arrays, max_iterations, eff_threshold, lam0,
@@ -1252,17 +1252,27 @@ def _use_chunked_dispatch():
     return jax.default_backend() != "cpu"
 
 
-def _matmul_precision_ctx(dtype):
+def _matmul_precision_ctx(dtype, spec=None):
     """Trace-time matmul precision for the f32 solve phase on
     accelerators.  TPU f32 matmuls default to bf16x3 passes; the noise in
     J^T J / J^T r degrades the LM steps enough that the f32 phase crawls
-    (~1000 iterations where exact-arithmetic f32 takes ~50).
-    MRCAL_TPU_F32_MATMUL_PRECISION sets the jax precision name used for
-    f32 solves ('float32' = full-precision passes; '' disables).  Applied
-    around the solver's trace, so the setting bakes into the compiled
-    executable."""
+    (~1000 iterations where exact-arithmetic f32 takes ~50) — so
+    parametric models default to 'float32' (full-precision passes; their
+    H matmuls are small and the cost is negligible).  SPLINED models keep
+    the DEFAULT precision: their H is a (rows x 1082)-wide genuine matmul
+    where full-precision passes cost 2x sustained throughput, and the f32
+    phase's windowed plateau + the f64 polish absorb the extra noise
+    (measured: identical final rms, ~2x the f32 iterations, half the
+    per-iteration cost).  MRCAL_TPU_F32_MATMUL_PRECISION[_SPLINED]
+    override either choice ('' disables).  Applied around the solver's
+    trace, so the setting bakes into the compiled executable."""
     import contextlib
-    prec = _os.environ.get("MRCAL_TPU_F32_MATMUL_PRECISION", "float32")
+    if spec is not None and spec.is_splined:
+        prec = _os.environ.get("MRCAL_TPU_F32_MATMUL_PRECISION_SPLINED",
+                               "")
+    else:
+        prec = _os.environ.get("MRCAL_TPU_F32_MATMUL_PRECISION",
+                               "float32")
     if prec and dtype == jnp.float32 and jax.default_backend() != "cpu":
         return jax.default_matmul_precision(prec)
     return contextlib.nullcontext()
@@ -1403,11 +1413,10 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
                       in_axes=(0, 0, 0, 0, 0, 0, None))(
             pose, win, ixy0, corner_xy, obs_c, core4,
             params["calobject_warp"])                    # dict of (N,2,*)
-        Jw4 = jax.vmap(jax.jacrev(corner_fn, argnums=1),
-                       in_axes=(0, 0, 0, 0, 0, 0, None))(
+        Jw = jax.vmap(jax.jacrev(corner_fn, argnums=1),
+                      in_axes=(0, 0, 0, 0, 0, 0, None))(
             pose, win, ixy0, corner_xy, obs_c, core4,
-            params["calobject_warp"])                    # (N,2,R,R,2)
-        Jw = Jw4.reshape(N, 2, R * R * 2)
+            params["calobject_warp"]).reshape(N, 2, R * R * 2)
 
         Je = _zero_if(s.do_optimize_extrinsics, Jp["ext"]) \
             * (ice_c >= 0)[:, None, None].astype(dt)
@@ -1459,15 +1468,11 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
                 axis=0) if Npad != N else a
 
         Jw_p = padN(Jw)
-        Jw4_p = padN(Jw4)
         Je_p = padN(Je)
         Jwp_p = padN(Jwp)
         Jf_p = padN(Jf)
         r_p = padN(r)
         wincols_p = padN(wincols, fill=0)
-        iyw_p = padN(iyw, fill=0)
-        ixw_p = padN(ixw, fill=0)
-        ici_p = padN(ici_c, fill=0)
         # padded corners: zero Jacobians contribute nothing
         ice_p = padN(ice_c, fill=-1)
         ifr_p = padN(ifr_c, fill=0)
@@ -1481,34 +1486,18 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
             def dslice(a):
                 return jax.lax.dynamic_slice_in_dim(a, i0_, CH, 0)
 
-            Jw_c, Jw4_c, Je_c, Jwp_c, Jf_c, r_c = (
-                dslice(Jw_p), dslice(Jw4_p), dslice(Je_p), dslice(Jwp_p),
-                dslice(Jf_p), dslice(r_p))
+            Jw_c, Je_c, Jwp_c, Jf_c, r_c = (
+                dslice(Jw_p), dslice(Je_p), dslice(Jwp_p), dslice(Jf_p),
+                dslice(r_p))
             wincols_c = dslice(wincols_p)
             ice_cc = dslice(ice_p)
             ifr_cc = dslice(ifr_p)
-            iyw_cc = dslice(iyw_p)
-            ixw_cc = dslice(ixw_p)
-            ici_cc = dslice(ici_p)
+            # intrinsics block: (CH, 2, Nip_all)
+            oh_w = (wincols_c[:, :, None] ==
+                    jnp.arange(Nip_all)[None, None, :]).astype(hdt)
             with jax.default_matmul_precision("float32"):
-                # intrinsics rows (CH, 2, Nip): the one-hot FACTORS over
-                # the window's y and x axes — two small contractions
-                # instead of a (CH, 2R^2, Nip) one-hot tensor (which was
-                # ~280 MB/chunk of pure bandwidth; this is ~2 MB)
-                ohy = (iyw_cc[:, :, None] ==
-                       jnp.arange(lm.Ny)[None, None, :]).astype(hdt)
-                ohx = (ixw_cc[:, :, None] ==
-                       jnp.arange(lm.Nx)[None, None, :]).astype(hdt)
-                A_ = jnp.einsum("nrdek,ndy->nryek",
-                                Jw4_c.astype(hdt), ohy)
-                B_ = jnp.einsum("nryek,nex->nryxk", A_, ohx)
-                rows_i = B_.reshape(CH, 2, lm.Ny * lm.Nx * 2)
-                if spec.Ncameras_intrinsics > 1:
-                    oh_cam = (ici_cc[:, None] ==
-                              jnp.arange(spec.Ncameras_intrinsics)
-                              [None, :]).astype(hdt)
-                    rows_i = jnp.einsum("nrw,nc->nrcw", rows_i,
-                                        oh_cam).reshape(CH, 2, Nip_all)
+                rows_i = jnp.einsum("nrw,nwk->nrk",
+                                    Jw_c.astype(hdt), oh_w)
                 parts = [rows_i]
                 if Nce:
                     oh_e = (jnp.maximum(ice_cc, 0)[:, None] ==

@@ -603,7 +603,7 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
         solve = _make_device_lm(spec, _make_sharded_ne_fn(spec, mesh, axis))
         _SHARDED_SOLVER_CACHE[key] = solve
 
-    with _matmul_precision_ctx(b0.dtype):
+    with _matmul_precision_ctx(b0.dtype, spec):
         if _use_chunked_dispatch():
             b, ne, it = _run_device_lm_chunked(
                 solve, b0, (rep, sh), max_iterations, eff_threshold, lam0,
