@@ -1495,7 +1495,14 @@ def build_normal_equations_splined(spec: ProblemSpec, arrays_unused,
             # intrinsics block: (CH, 2, Nip_all)
             oh_w = (wincols_c[:, :, None] ==
                     jnp.arange(Nip_all)[None, None, :]).astype(hdt)
-            with jax.default_matmul_precision("float32"):
+            # full-precision matmul passes ONLY for the f32-H-of-an-f64-
+            # polish scheme; the plain f32 phase keeps the ambient
+            # (per-model) precision — forcing it here costs ~60% of the
+            # splined f32 iteration
+            import contextlib
+            prec_ctx = (jax.default_matmul_precision("float32")
+                        if use_h32 else contextlib.nullcontext())
+            with prec_ctx:
                 rows_i = jnp.einsum("nrw,nwk->nrk",
                                     Jw_c.astype(hdt), oh_w)
                 parts = [rows_i]
