@@ -29,8 +29,7 @@ from ..optimize.layout import ProblemSpec
 from ..optimize.solver import (_CLayout, _make_board_fn, _make_point_fn,
                                _intr_scales, _EXT_SCALES, _FRAME_SCALES,
                                _WARP_SCALES, _POINT_SCALES,
-                               _reg_per_camera, schur_step, _delta_to_b,
-                               _g_to_b)
+                               _reg_per_camera, schur_step, _delta_to_b)
 from ..optimize.residuals import split_packed_state
 
 _seg = jax.ops.segment_sum
