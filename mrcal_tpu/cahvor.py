@@ -32,8 +32,12 @@ def _parse_keyvalues(f):
 
 
 def read(f):
-    """Read a .cahvor file into a cameramodel."""
+    """Read a .cahvor file into a cameramodel (reference:
+    mrcal/cahvor.py:274 — accepts a filename, an opened file, or a
+    cameramodel, which passes through)."""
     from .cameramodel import cameramodel
+    if isinstance(f, cameramodel):
+        return f
     if isinstance(f, str):
         with open(f) as fh:
             kv = _parse_keyvalues(fh)
@@ -192,3 +196,10 @@ def read_transforms(f):
     finally:
         if needclose:
             f.close()
+
+
+def read_from_string(s):
+    """Read a .cahvor model from a string (reference:
+    mrcal/cahvor.py:288)."""
+    import io
+    return read(io.StringIO(s))

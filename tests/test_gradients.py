@@ -148,3 +148,16 @@ def test_gradients_points_and_triangulated():
     # and clamp kinks (divergence guards): central differences near a
     # kink are one-sided-wrong at any step, so tolerate a bit more
     _check_gradients(oi, seed=9, atol=3e-5)
+
+
+def test_optimize_check_gradient_mode():
+    """optimize(check_gradient=True) verifies the Jacobian and returns
+    WITHOUT solving (reference mrcal.c:6601-6605 semantics)."""
+    oi, spec, arrays, b0 = _make_problem(Ncameras=2, Nframes=4, W=4, H=3)
+    intr_before = np.array(oi["intrinsics"])
+    s = mrcal.optimize(**oi, check_gradient=True)
+    assert s["check_gradient"] is True
+    assert s["worst_relative_error"] < 1e-5
+    assert s["ncols_checked"] == spec.Nstate
+    # no solve happened: inputs untouched
+    assert np.array_equal(np.array(oi["intrinsics"]), intr_before)
