@@ -587,6 +587,23 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
                                    _use_chunked_dispatch,
                                    _matmul_precision_ctx)
     n_dev = mesh.devices.size
+    if spec.is_splined:
+        # the sharded assembly uses the generic per-observation jacrev;
+        # a big splined board observation materializes a cross-corner
+        # intermediate of ~(HW)^2 * window^2 floats PER SHARD
+        R = spec.lensmodel.order + 1
+        HW = (spec.calibration_object_width_n *
+              spec.calibration_object_height_n)
+        per_shard = (spec.Nobservations_board / max(n_dev, 1) *
+                     HW * 2 * HW * (R * R * 2) * 4)
+        if per_shard > 2e9:
+            import warnings
+            warnings.warn(
+                "sharded splined solve: the generic per-observation "
+                f"jacrev will materialize ~{per_shard/1e9:.1f} GB per "
+                "shard (the single-chip MXU spline-window assembly is "
+                "not sharded yet); expect HBM pressure. Consider the "
+                "single-chip path for this problem.", stacklevel=3)
     if dtype is not None:
         arrays = _cast_arrays(arrays, dtype)
         b0 = jnp.asarray(b0, dtype)
