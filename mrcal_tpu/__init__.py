@@ -44,7 +44,7 @@ from .optimize import (         # noqa: F401
     pack_state, unpack_state,
     corresponding_icam_extrinsics,
 )
-from .cameramodel import cameramodel  # noqa: F401
+from .cameramodel import cameramodel, CameramodelParseException  # noqa: F401
 from .factorization import CHOLMOD_factorization  # noqa: F401
 from .synthetic_data import (   # noqa: F401
     ref_calibration_object,

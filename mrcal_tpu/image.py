@@ -74,3 +74,60 @@ def apply_color_map(image, *, a_min=None, a_max=None,
     b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
     out = np.stack([b, g, r], axis=-1)   # BGR
     return (out * 255).astype(np.uint8)
+
+
+def clahe_equalize(image, tiles=8, clip=2.0):
+    """Contrast-limited adaptive histogram equalization -> uint8.
+
+    Reference: mrcal-stereo --clahe / --equalization clahe (which calls
+    cv2.createCLAHE).  cv2 is used when available; otherwise a numpy
+    tile-interpolated implementation (per-tile clipped CDFs, bilinear
+    blend) with equivalent behavior."""
+    image = np.asarray(image)
+    try:
+        import cv2
+        c = cv2.createCLAHE(clipLimit=clip, tileGridSize=(tiles, tiles))
+        return c.apply(image.astype(np.uint8))
+    except ImportError:
+        pass
+    im = image.astype(np.float64)
+    im = (im - im.min()) / max(im.max() - im.min(), 1e-9)
+    H, W = im.shape
+    th, tw = (H + tiles - 1) // tiles, (W + tiles - 1) // tiles
+    nbins = 256
+    q = np.clip((im * (nbins - 1)).astype(int), 0, nbins - 1)
+    # per-tile clipped CDFs
+    cdfs = np.zeros((tiles, tiles, nbins))
+    for ty in range(tiles):
+        for tx in range(tiles):
+            tile = q[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            h = np.bincount(tile.ravel(), minlength=nbins).astype(float)
+            limit = clip * h.mean()
+            excess = np.maximum(h - limit, 0).sum()
+            h = np.minimum(h, limit) + excess / nbins
+            c = np.cumsum(h)
+            cdfs[ty, tx] = c / max(c[-1], 1e-9)
+    # bilinear interpolation between tile CDFs
+    ty = np.clip((np.arange(H) - th / 2) / th, 0, tiles - 1 - 1e-9)
+    tx = np.clip((np.arange(W) - tw / 2) / tw, 0, tiles - 1 - 1e-9)
+    ty0 = ty.astype(int)
+    tx0 = tx.astype(int)
+    fy = (ty - ty0)[:, None]
+    fx = (tx - tx0)[None, :]
+    ty1 = np.minimum(ty0 + 1, tiles - 1)
+    tx1 = np.minimum(tx0 + 1, tiles - 1)
+    v00 = cdfs[ty0[:, None], tx0[None, :], q]
+    v01 = cdfs[ty0[:, None], tx1[None, :], q]
+    v10 = cdfs[ty1[:, None], tx0[None, :], q]
+    v11 = cdfs[ty1[:, None], tx1[None, :], q]
+    out = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+           v10 * fy * (1 - fx) + v11 * fy * fx)
+    return (out * 255).astype(np.uint8)
+
+
+def stretch_equalize(image):
+    """Global min/max contrast stretch -> uint8 (mrcal-stereo
+    --equalization stretch)."""
+    im = np.asarray(image).astype(np.float64)
+    lo, hi = im.min(), im.max()
+    return (255.0 * (im - lo) / max(hi - lo, 1e-9)).astype(np.uint8)

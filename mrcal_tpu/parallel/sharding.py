@@ -42,12 +42,45 @@ def make_mesh(n_devices=None, axis="obs"):
     return Mesh(np.array(devices), (axis,))
 
 
+def _local_normal_equations_splined(spec: ProblemSpec, b, arrays,
+                                    mask_board):
+    """Splined fast path for the sharded assembly: each device runs the
+    chunked one-hot MXU spline-window assembly (solver._splined_board_ne)
+    on ITS observation shard, so the canonical 30x18 splined problem
+    shards without the generic path's ~GB cross-corner jacrev
+    intermediate.  The psum'd blocks are identical to the single-chip
+    build_normal_equations_splined.  Applicable under
+    _splined_fast_path_ok (boards only, core locked): the point/tri
+    blocks are structurally empty."""
+    from ..optimize.solver import _splined_board_ne
+    core = _splined_board_ne(spec, b, arrays, arrays["indices_board"],
+                             mask_board)
+    dt = b.dtype
+    hdt = core["Hcc"].dtype
+    cl = _CLayout(spec)
+    Npv = spec.Npoints_variable
+    return dict(
+        E=core["E"], g_c=core["g_c"], g_f=core["g_f"],
+        g_p=jnp.zeros((max(Npv, 1), 3), dt),
+        Hcc=core["Hcc"], Hff=core["Hff"], Cf=core["Cf"],
+        Hpp=jnp.zeros((max(Npv, 1), 3, 3), hdt),
+        Cp=jnp.zeros((max(Npv, 1), 3, cl.Nc), hdt),
+        x_board=core["x_board_rows"],
+        x_point=jnp.zeros((arrays["observations_point"].shape[0]
+                           if spec.Nobservations_point else 0, 2), dt),
+        x_tri=jnp.zeros((arrays["tri_v0"].shape[0]
+                         if "tri_v0" in arrays else 0,), dt))
+
+
 def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
                             mask_point):
     """Normal-equation blocks from the LOCAL observation shard.  Pure SPMD
     function: every contribution lands via dynamic scatter-add keyed by the
     shard's index arrays.  mask_board/mask_point multiply residual rows
     (used to zero out padding observations)."""
+    from ..optimize.solver import _use_splined_sparse
+    if _use_splined_sparse(spec):
+        return _local_normal_equations_splined(spec, b, arrays, mask_board)
     s = spec.selections
     cl = _CLayout(spec)
     Nf = spec.Nframes
@@ -399,7 +432,8 @@ def sharded_normal_equations(spec: ProblemSpec, mesh, axis="obs"):
             reg = _reg_contrib(spec, b, arr)
             ne["E"] = ne["E"] + reg["E"]
             ne["g_c"] = ne["g_c"] + reg["g_c"]
-            ne["Hcc"] = ne["Hcc"] + reg["Hcc"]
+            # keep Hcc in the assembly's dtype (splined f64-polish H is f32)
+            ne["Hcc"] = ne["Hcc"] + reg["Hcc"].astype(ne["Hcc"].dtype)
             return ne
 
         return fn
@@ -542,7 +576,8 @@ def _make_sharded_ne_fn(spec: ProblemSpec, mesh, axis="obs"):
         reg = _reg_contrib(spec, b, arr)          # replicated, tiny
         ne["E"] = ne["E"] + reg["E"]
         ne["g_c"] = ne["g_c"] + reg["g_c"]
-        ne["Hcc"] = ne["Hcc"] + reg["Hcc"]
+        # keep Hcc in the assembly's dtype (splined f64-polish H is f32)
+        ne["Hcc"] = ne["Hcc"] + reg["Hcc"].astype(ne["Hcc"].dtype)
         ne.update(x)
         ne["x_reg"] = reg["x_reg"]
         return ne
@@ -586,11 +621,15 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
                                    _run_device_lm_chunked,
                                    _use_chunked_dispatch,
                                    _matmul_precision_ctx)
+    from ..optimize.solver import _use_splined_sparse
     n_dev = mesh.devices.size
-    if spec.is_splined:
-        # the sharded assembly uses the generic per-observation jacrev;
-        # a big splined board observation materializes a cross-corner
-        # intermediate of ~(HW)^2 * window^2 floats PER SHARD
+    if spec.is_splined and not _use_splined_sparse(spec):
+        # non-standard splined configs (core optimized, point obs, ...)
+        # fall back to the generic per-observation jacrev, whose board
+        # jacrev materializes a cross-corner intermediate of
+        # ~(HW)^2 * window^2 floats PER SHARD.  The STANDARD splined
+        # config shards through the MXU spline-window assembly
+        # (_local_normal_equations_splined) and never hits this.
         R = spec.lensmodel.order + 1
         HW = (spec.calibration_object_width_n *
               spec.calibration_object_height_n)
@@ -599,11 +638,10 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
         if per_shard > 2e9:
             import warnings
             warnings.warn(
-                "sharded splined solve: the generic per-observation "
-                f"jacrev will materialize ~{per_shard/1e9:.1f} GB per "
-                "shard (the single-chip MXU spline-window assembly is "
-                "not sharded yet); expect HBM pressure. Consider the "
-                "single-chip path for this problem.", stacklevel=3)
+                "sharded splined solve (non-standard config): the "
+                "generic per-observation jacrev will materialize "
+                f"~{per_shard/1e9:.1f} GB per shard; expect HBM "
+                "pressure.", stacklevel=3)
     if dtype is not None:
         arrays = _cast_arrays(arrays, dtype)
         b0 = jnp.asarray(b0, dtype)

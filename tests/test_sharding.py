@@ -153,6 +153,100 @@ def test_16_camera_rig_sharded():
     assert np.sqrt(l[-1]) < 2.0
 
 
+def _make_splined_problem(Nx=30, Ny=18, Nframes=14, seed=7):
+    """A canonical-class splined scene (30x18 knot grid by default — the
+    blueprint's hardest problem, doc/tour-initial-calibration.org:647)."""
+    import mrcal_tpu as mrcal
+    MODEL = (f"LENSMODEL_SPLINED_STEREOGRAPHIC_order=3_Nx={Nx}_Ny={Ny}"
+             "_fov_x_deg=150")
+    Nknots2 = 2 * Nx * Ny
+    np.random.seed(seed)
+    imagersize = np.array([800, 600])
+    intr_true = np.concatenate([
+        np.array([420., 419., (imagersize[0] - 1) / 2,
+                  (imagersize[1] - 1) / 2]),
+        np.random.randn(Nknots2) * 2e-3])
+    m = mrcal.cameramodel(intrinsics=(MODEL, intr_true),
+                          imagersize=imagersize, rt_cam_ref=np.zeros(6))
+    q, Rt_ref_boardref = mrcal.synthesize_board_observations(
+        [m], object_width_n=10, object_height_n=8, object_spacing=0.08,
+        calobject_warp=np.array([0.002, -0.001]),
+        rt_ref_boardcenter=np.array([0., 0., 0., 0., 0., 0.9]),
+        rt_ref_boardcenter__noiseradius=np.array(
+            [np.pi / 5, np.pi / 5, np.pi / 8, 0.3, 0.25, 0.3]),
+        Nframes=Nframes, which="all-cameras-must-see-full-board")
+    frames_true = np.array([np.asarray(mrcal.rt_from_Rt(Rt))
+                            for Rt in Rt_ref_boardref])
+    obs = np.concatenate([q[:, 0], np.ones(q[:, 0].shape[:-1] + (1,))],
+                         axis=-1)
+    np.random.seed(seed + 1)
+    obs[..., :2] += np.random.randn(*obs[..., :2].shape) * 0.2
+    intr0 = intr_true.copy()
+    intr0[4:] = 0.0
+    oi = dict(
+        do_optimize_intrinsics_core=False,
+        intrinsics=intr0[None],
+        extrinsics_rt_fromref=np.zeros((0, 6)),
+        frames_rt_toref=frames_true +
+        np.random.randn(*frames_true.shape) * 0.01,
+        observations_board=obs,
+        indices_frame_camintrinsics_camextrinsics=np.array(
+            [[f, 0, -1] for f in range(len(obs))], dtype=np.int32),
+        lensmodel=MODEL,
+        imagersizes=imagersize[None],
+        calobject_warp=np.zeros(2),
+        calibration_object_spacing=0.08,
+    )
+    spec = spec_from_inputs(**oi)
+    arrays = arrays_from_inputs(**oi)
+    b0 = pack_params(params_from_arrays(arrays), spec)
+    return oi, spec, arrays, b0
+
+
+def test_sharded_splined_solve(monkeypatch):
+    """The canonical-class splined config (30x18 knot grid) on the
+    8-device mesh through the SHARDED MXU spline-window assembly
+    (_local_normal_equations_splined): parity with the single-chip device
+    solver.  This is the blueprint's long-axis scaling story for its
+    hardest problem (SURVEY §2.4/§5.7)."""
+    monkeypatch.setenv("MRCAL_TPU_SPLINED_SPARSE", "1")
+    oi, spec, arrays, b0 = _make_splined_problem()
+    from mrcal_tpu.optimize.solver import (lm_solve_device,
+                                           _use_splined_sparse)
+    from mrcal_tpu.parallel import sharded_lm_solve_device
+    assert _use_splined_sparse(spec)
+
+    b_u, E_u, it_u, ne_u = lm_solve_device(spec, arrays, b0,
+                                           max_iterations=12)
+    mesh = make_mesh(8)
+    b_s, E_s, it_s, ne_s = sharded_lm_solve_device(spec, arrays, b0, mesh,
+                                                   max_iterations=12)
+    assert np.isclose(E_u, E_s, rtol=1e-10)
+    assert np.allclose(np.asarray(b_u), np.asarray(b_s), atol=1e-8)
+    # residual-vector contract identical (outlier rejection consumes it)
+    for k in ("x_board", "x_reg"):
+        assert np.asarray(ne_s[k]).shape == np.asarray(ne_u[k]).shape, k
+        assert np.allclose(np.asarray(ne_s[k]), np.asarray(ne_u[k]),
+                           atol=1e-9), k
+
+
+def test_optimize_mesh_splined(monkeypatch):
+    """optimize(mesh=8) end-to-end on a splined problem (reduced knot grid
+    for runtime) matches the unsharded optimize, outlier loop included."""
+    import copy
+    monkeypatch.setenv("MRCAL_TPU_SPLINED_SPARSE", "1")
+    oi, spec, arrays, b0 = _make_splined_problem(Nx=12, Ny=9, Nframes=10,
+                                                 seed=11)
+    oi1 = copy.deepcopy(oi)
+    oi2 = copy.deepcopy(oi)
+    s1 = mrcal.optimize(**oi1)
+    s2 = mrcal.optimize(**oi2, mesh=8)
+    assert np.isclose(s1["rms_reproj_error__pixels"],
+                      s2["rms_reproj_error__pixels"], rtol=1e-7)
+    assert s1["Noutliers"] == s2["Noutliers"]
+    assert np.allclose(oi1["intrinsics"], oi2["intrinsics"], atol=1e-6)
+
+
 def test_sharded_triangulated_solve():
     """Triangulated-point measurements in the sharded path: pair axis
     sharded over the mesh; matches the host solver."""
