@@ -17,11 +17,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _unrolled_cholesky_solve(A, rhs, n):
-    """Fully-unrolled Cholesky + triangular solves, batched over the leading
-    axis.  A: (B, n, n); rhs: (B, n, K).  Every operation is an elementwise
-    op over the batch axis -> pure VPU code under pallas or XLA."""
-    # factor: L lower-triangular, A = L L^T
+def unrolled_cholesky_factor(A, n):
+    """Fully-unrolled batched Cholesky: A (B, n, n) SPD -> L as a list of
+    lists of (B,) arrays.  Every operation is elementwise over the batch
+    axis -> pure VPU code (XLA's batched Cholesky lowers tiny blocks to
+    loop-carried scalar code instead; measured 3.5 ms for the splined
+    frame elimination vs ~0.3 ms unrolled)."""
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -32,14 +33,18 @@ def _unrolled_cholesky_solve(A, rhs, n):
                 L[i][j] = jnp.sqrt(s)
             else:
                 L[i][j] = s / L[j][j]
-    # forward solve L y = rhs
+    return L
+
+
+def unrolled_cholesky_solve_factored(L, rhs, n):
+    """Triangular solves against a factor from unrolled_cholesky_factor.
+    rhs: (B, n, K) -> (B, n, K); K-wide elementwise ops."""
     y = [None] * n
     for i in range(n):
         s = rhs[:, i, :]
         for k in range(i):
             s = s - L[i][k][:, None] * y[k]
         y[i] = s / L[i][i][:, None]
-    # back solve L^T x = y
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
@@ -47,6 +52,12 @@ def _unrolled_cholesky_solve(A, rhs, n):
             s = s - L[k][i][:, None] * x[k]
         x[i] = s / L[i][i][:, None]
     return jnp.stack(x, axis=1)          # (B, n, K)
+
+
+def _unrolled_cholesky_solve(A, rhs, n):
+    """Factor + solve in one call (see the factored pair above)."""
+    return unrolled_cholesky_solve_factored(
+        unrolled_cholesky_factor(A, n), rhs, n)
 
 
 def _kernel_soa(A_ref, rhs_ref, out_ref, *, n, K):

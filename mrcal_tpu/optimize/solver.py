@@ -491,19 +491,27 @@ _USE_PALLAS_CHOLESKY = bool(_os.environ.get("MRCAL_TPU_PALLAS"))
 
 def _block_solve(A, rhs):
     """Batched small-SPD solve: Pallas kernel when MRCAL_TPU_PALLAS=1 on an
-    accelerator, XLA cholesky otherwise.  Returns (L, solve_fn) where
-    solve_fn solves against further RHS with the same blocks."""
+    accelerator, otherwise the UNROLLED elementwise Cholesky (factored
+    once, solves reuse the factor).  XLA's own batched Cholesky lowers
+    tiny blocks to loop-carried scalar code — on the canonical splined
+    problem the 6x6 frame elimination measured 3.5 ms/iter via
+    jnp.linalg.cholesky+cho_solve vs ~0.3 ms unrolled (round-4 probes).
+    Returns (L, solve_fn) where solve_fn solves further RHS with the
+    same factor."""
     if _USE_PALLAS_CHOLESKY and jax.default_backend() != "cpu":
         from ..ops.batched_cholesky import batched_cholesky_solve_pallas
 
         def solve(r):
             return batched_cholesky_solve_pallas(A, r)
         return None, solve
-    L = jnp.linalg.cholesky(A)
+    from ..ops.batched_cholesky import (unrolled_cholesky_factor,
+                                        unrolled_cholesky_solve_factored)
+    n = A.shape[-1]
+    Lf = unrolled_cholesky_factor(A, n)
 
     def solve(r):
-        return jax.scipy.linalg.cho_solve((L, True), r)
-    return L, solve
+        return unrolled_cholesky_solve_factored(Lf, r, n)
+    return None, solve
 
 
 # lambda is RELATIVE (it multiplies the Marquardt diag scaling), so this
@@ -542,8 +550,42 @@ def schur_step(ne, lam, spec: ProblemSpec):
     splined f64-on-TPU scheme stores H in f32): the factorization and
     solves then run in H's dtype — inexact-Newton with an exact gradient
     still converges to the exact optimum — and delta/pred are returned in
-    the gradient's dtype."""
+    the gradient's dtype.
+
+    f32 PARAMETRIC solves upcast the whole step to f64: at small lambda
+    the f32 cancellation Hcc - C^T A^-1 C goes slightly indefinite and
+    the Cholesky NaNs, locking the LM loop into an accept/NaN-reject
+    limit cycle (measured on the 4-camera OPENCV8 bench config: 160 f32
+    iterations with 83 NaN rejects vs 32 in f64).  The Schur blocks are
+    tiny next to the NE assembly (Nc <= a few hundred), so the emulated
+    f64 cost on TPU is negligible.  Splined models keep the f32 step:
+    their Nc ~ 2NxNy makes the reduction einsums a real fraction of the
+    iteration, and their f32 phase plateaus early by design.
+    MRCAL_TPU_SCHUR_F64=0/1 forces."""
     dt = ne["g_c"].dtype
+    if ne["Hcc"].dtype == jnp.float32:
+        # f32-ASSEMBLED H: its diag carries ~eps32 relative noise, so
+        # H_red + lam*diag(H) goes indefinite (Cholesky -> NaN) once
+        # lam < ~2e-7 REGARDLESS of the factorization precision.
+        # Saturate the EFFECTIVE damping at a few eps32: the LM
+        # control's lam may keep shrinking, but the factorization never
+        # enters the noise regime.  This kills the accept/NaN-reject
+        # limit cycle (4cam bench config: 160 -> ~80 f32 iterations) and
+        # the splined-polish NaN crawl the round-3 notes describe.
+        # MRCAL_TPU_F32_LAM_FLOOR overrides (0 disables).
+        lam = jnp.maximum(jnp.asarray(lam, dt),
+                          float(_os.environ.get("MRCAL_TPU_F32_LAM_FLOOR",
+                                                4e-7)))
+    env = _os.environ.get("MRCAL_TPU_SCHUR_F64")
+    upcast = (dt == jnp.float32
+              and (not spec.is_splined if env is None else env != "0"))
+    if upcast:
+        f64 = jnp.float64
+        ne64 = {k: (v.astype(f64) if k[0] in "gHC" else v)
+                for k, v in ne.items()}
+        dc, df, dp, pred = schur_step(ne64, jnp.asarray(lam, f64), spec)
+        return (dc.astype(dt), df.astype(dt), dp.astype(dt),
+                pred.astype(dt))
     hdt = ne["Hcc"].dtype
     lam_h = jnp.asarray(lam, hdt)
     Nf = spec.Nframes
@@ -1524,47 +1566,77 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
     # ---- MXU assembly: expand each corner's sparse window Jacobian
     # into a dense camera-system row pair via ONE-HOT CONTRACTIONS
     # (einsum -> matmul on the MXU), then accumulate H = rows^T rows.
-    # No scatter-adds: TPU scatters serialize on the VPU (the earlier
-    # .at[].add formulation measured 6x slower than the dense path and
-    # the dense path OOMs), while this runs at matmul speed.  Corners
-    # are processed in chunks so the one-hot factor stays ~100 MB.
+    # No per-corner scatter-adds: TPU scatters serialize on the VPU (the
+    # earlier .at[].add formulation measured 6x slower than the dense
+    # path and the dense path OOMs), while this runs at matmul speed.
+    # Chunking is per OBSERVATION (a chunk's corner rows flatten to
+    # ~4k), and the frame blocks Cf/Hff/g_f accumulate at OBSERVATION
+    # granularity — batched (M2 x Nc) matmuls + a tiny per-obs
+    # block-scatter.  The round-3 corner-granularity segment-sum
+    # materialized a (corners, 6, Nc) intermediate that cost 2.6 ms/iter
+    # of HBM traffic on the canonical splined problem (round-4 probes).
     Nce = spec.Ncameras_extrinsics
-    CH = 2048
-    Npad = (N + CH - 1) // CH * CH
+    M2 = 2 * Ncorners
+    CHO = max(1, 4096 // M2)              # observations per chunk
+    CH = CHO * Ncorners                   # corners per chunk
+    NobsPad = (Nobs + CHO - 1) // CHO * CHO
 
-    def padN(a, fill=0):
+    def pad_obs(a, fill=0):
         return jnp.concatenate(
-            [a, jnp.full((Npad - N,) + a.shape[1:], fill, a.dtype)],
-            axis=0) if Npad != N else a
+            [a, jnp.full((NobsPad - Nobs,) + a.shape[1:], fill, a.dtype)],
+            axis=0) if NobsPad != Nobs else a
 
-    Jw_p = padN(Jw)
-    Je_p = padN(Je)
-    Jwp_p = padN(Jwp)
-    Jf_p = padN(Jf)
-    r_p = padN(r)
-    wincols_p = padN(wincols, fill=0)
-    # padded corners: zero Jacobians contribute nothing
-    ice_p = padN(ice_c, fill=-1)
-    ifr_p = padN(ifr_c, fill=0)
+    def obs_view(a):
+        return a.reshape((Nobs, Ncorners) + a.shape[1:])
+
+    # padded observations: zero Jacobians contribute nothing
+    Jw_p = pad_obs(obs_view(Jw))
+    Je_p = pad_obs(obs_view(Je))
+    Jwp_p = pad_obs(obs_view(Jwp))
+    Jf_p = pad_obs(obs_view(Jf))
+    r_p = pad_obs(obs_view(r))
+    wincols_p = pad_obs(obs_view(wincols), fill=0)
+    ice_p = pad_obs(ice, fill=-1)         # obs-level indices
+    ifr_p = pad_obs(ifr, fill=0)
 
     Nip_all = cl.e0                       # total intrinsics state size
 
     def chunk_body(ci, acc):
         Hcc, g_c, g_f, Hff, Cf = acc
-        i0_ = ci * CH
+        i0_ = ci * CHO
 
         def dslice(a):
-            return jax.lax.dynamic_slice_in_dim(a, i0_, CH, 0)
+            return jax.lax.dynamic_slice_in_dim(a, i0_, CHO, 0)
 
-        Jw_c, Je_c, Jwp_c, Jf_c, r_c = (
-            dslice(Jw_p), dslice(Je_p), dslice(Jwp_p), dslice(Jf_p),
-            dslice(r_p))
-        wincols_c = dslice(wincols_p)
-        ice_cc = dslice(ice_p)
-        ifr_cc = dslice(ifr_p)
-        # intrinsics block: (CH, 2, Nip_all)
+        def flat(a):                      # (CHO, Ncorners, ...) -> (CH, ...)
+            return a.reshape((CH,) + a.shape[2:])
+
+        Jw_c = flat(dslice(Jw_p))
+        Je_c = flat(dslice(Je_p))
+        Jwp_c = flat(dslice(Jwp_p))
+        Jf_c = flat(dslice(Jf_p))
+        r_c = flat(dslice(r_p))
+        wincols_c = flat(dslice(wincols_p))
+        ice_o = dslice(ice_p)             # (CHO,)
+        ifr_o = dslice(ifr_p)
+        ice_cc = jnp.repeat(ice_o, Ncorners)
+        # intrinsics block: (CH, 2, Nip_all).  In the plain f32 phase
+        # the one-hot factor and Jw are fed to the MXU as bf16:
+        # DEFAULT-precision passes round operands to bf16 anyway, so
+        # this halves the one-hot's HBM traffic (the largest single
+        # cost of the iteration: ~2.3 GB/NE-eval at 30x18 knots in
+        # f32) at zero additional precision loss — the 0/1 one-hot is
+        # exact in bf16, and the output accumulates in f32 via
+        # preferred_element_type.  The f32-H-of-an-f64-polish scheme
+        # keeps full f32 operands + full-precision passes.  (A
+        # knot-level factored one-hot was tried and measured 3.5x
+        # SLOWER: the extra component axis breaks the clean matmul
+        # layout — don't redo it.)
+        oh_dt = (jnp.bfloat16
+                 if (dt == jnp.float32 and not use_h32
+                     and jax.default_backend() != "cpu") else hdt)
         oh_w = (wincols_c[:, :, None] ==
-                jnp.arange(Nip_all)[None, None, :]).astype(hdt)
+                jnp.arange(Nip_all)[None, None, :]).astype(oh_dt)
         # full-precision matmul passes ONLY for the f32-H-of-an-f64-
         # polish scheme; the plain f32 phase keeps the ambient
         # (per-model) precision — forcing it here costs ~60% of the
@@ -1574,7 +1646,8 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
                     if use_h32 else contextlib.nullcontext())
         with prec_ctx:
             rows_i = jnp.einsum("nrw,nwk->nrk",
-                                Jw_c.astype(hdt), oh_w)
+                                Jw_c.astype(oh_dt), oh_w,
+                                preferred_element_type=hdt)
             parts = [rows_i]
             if Nce:
                 oh_e = (jnp.maximum(ice_cc, 0)[:, None] ==
@@ -1588,14 +1661,12 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
             rows = jnp.concatenate(parts, axis=-1)    # (CH, 2, Nc)
             Hcc = Hcc + jnp.einsum("nrc,nrd->cd", rows, rows)
             if Nf:
-                Hff = Hff + _seg(
-                    jnp.einsum("nri,nrj->nij", Jf_c.astype(hdt),
-                               Jf_c.astype(hdt)),
-                    ifr_cc, num_segments=max(Nf, 1))
-                Cf = Cf + _seg(
-                    jnp.einsum("nri,nrc->nic", Jf_c.astype(hdt),
-                               rows),
-                    ifr_cc, num_segments=max(Nf, 1))
+                rows_o = rows.reshape(CHO, M2, Nc)
+                Jf_oh = Jf_c.astype(hdt).reshape(CHO, M2, 6)
+                Cf = Cf.at[ifr_o].add(
+                    jnp.einsum("oci,ocd->oid", Jf_oh, rows_o))
+                Hff = Hff.at[ifr_o].add(
+                    jnp.einsum("oci,ocj->oij", Jf_oh, Jf_oh))
         # the GRADIENT in full precision.  use_h32: small einsums +
         # scatter-adds (no emulated-f64 matmuls); else: through rows
         if use_h32:
@@ -1610,13 +1681,13 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
         else:
             g_c = g_c + jnp.einsum("nrc,nr->c", rows.astype(dt), r_c)
         if Nf:
-            g_f = g_f + _seg(
-                jnp.einsum("nri,nr->ni", Jf_c, r_c),
-                ifr_cc, num_segments=max(Nf, 1))
+            g_f = g_f.at[ifr_o].add(
+                jnp.einsum("oci,oc->oi", Jf_c.reshape(CHO, M2, 6),
+                           r_c.reshape(CHO, M2)))
         return (Hcc, g_c, g_f, Hff, Cf)
 
     Hcc, g_c, g_f, Hff, Cf = jax.lax.fori_loop(
-        0, Npad // CH, chunk_body, (Hcc, g_c, g_f, Hff, Cf))
+        0, NobsPad // CHO, chunk_body, (Hcc, g_c, g_f, Hff, Cf))
 
     return dict(E=E, g_c=g_c, g_f=g_f, Hcc=Hcc, Hff=Hff, Cf=Cf,
                 x_board_rows=r.reshape(Nobs, 2 * Ncorners))

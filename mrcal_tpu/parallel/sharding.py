@@ -441,6 +441,31 @@ def sharded_normal_equations(spec: ProblemSpec, mesh, axis="obs"):
     return make
 
 
+def collective_bytes_per_iteration(spec: ProblemSpec, dtype=np.float64):
+    """Bytes all-reduced (psum'd) over the mesh per LM iteration by the
+    production sharded solver: the normal-equation BLOCKS are reduced,
+    never the Jacobian (SURVEY §2.4 — camera-system Hcc/g_c plus the
+    per-frame/per-point elimination blocks).  The residual ROWS stay
+    sharded (out_specs P(axis)) and cost nothing.
+
+    Returns (total_bytes, breakdown dict).  This is the comm side of the
+    compute/comm scaling model in bench_scaling.py."""
+    cl = _CLayout(spec)
+    Nc = cl.Nc
+    Nf = max(spec.Nframes, 1)
+    Npv = max(spec.Npoints_variable, 1)
+    itemsize = np.dtype(dtype).itemsize
+    # splined f64 polish keeps H blocks in f32 (MRCAL_TPU_SPLINED_F64_H32)
+    h_itemsize = itemsize
+    breakdown = dict(
+        E=1, g_c=Nc, g_f=Nf * 6, g_p=Npv * 3,
+        Hcc=Nc * Nc, Hff=Nf * 36, Cf=Nf * 6 * Nc,
+        Hpp=Npv * 9, Cp=Npv * 3 * Nc)
+    nbytes = {k: v * (h_itemsize if k[0] in "HC" else itemsize)
+              for k, v in breakdown.items()}
+    return sum(nbytes.values()), nbytes
+
+
 def _pad_to(n, k):
     return (n + k - 1) // k * k
 
