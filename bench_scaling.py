@@ -97,7 +97,6 @@ def main():
     from __graft_entry__ import _make_problem
     from mrcal_tpu.parallel import make_mesh, sharded_lm_solve_device
     from mrcal_tpu.parallel.sharding import (
-        sharded_lm_step, _padded_shard_arrays,
         collective_bytes_per_iteration, _make_sharded_ne_fn,
         _shard_arrays_for_device_solver)
     from mrcal_tpu.optimize.solver import _make_device_lm, lm_solve_device
@@ -157,7 +156,9 @@ def main():
     for line in hlo.splitlines():
         if not re.search(r"all-reduce(?:-start)?\(", line):
             continue
-        shape_part = line.split("all-reduce")[0]
+        # shapes live between '=' and the 'all-reduce(' call:
+        #   %all-reduce.1 = (f64[], f64[8,6,32]{2,1,0}, ...) all-reduce(
+        shape_part = line.split("all-reduce(")[0].split("=", 1)[-1]
         for bits, dims in re.findall(r"\bf(\d+)\[([\d,]*)\]", shape_part):
             n = 1
             for d in dims.split(","):

@@ -552,16 +552,15 @@ def schur_step(ne, lam, spec: ProblemSpec):
     still converges to the exact optimum — and delta/pred are returned in
     the gradient's dtype.
 
-    f32 PARAMETRIC solves upcast the whole step to f64: at small lambda
-    the f32 cancellation Hcc - C^T A^-1 C goes slightly indefinite and
-    the Cholesky NaNs, locking the LM loop into an accept/NaN-reject
-    limit cycle (measured on the 4-camera OPENCV8 bench config: 160 f32
-    iterations with 83 NaN rejects vs 32 in f64).  The Schur blocks are
-    tiny next to the NE assembly (Nc <= a few hundred), so the emulated
-    f64 cost on TPU is negligible.  Splined models keep the f32 step:
-    their Nc ~ 2NxNy makes the reduction einsums a real fraction of the
-    iteration, and their f32 phase plateaus early by design.
-    MRCAL_TPU_SCHUR_F64=0/1 forces."""
+    MRCAL_TPU_SCHUR_F64=1 additionally upcasts the whole Schur step of
+    f32 solves to f64.  It removes the last few state-dependent
+    NaN-rejects the damping floor (below) does not catch (4cam f32: 96
+    iterations with ~10 NaN rejects at floor-only vs 112 with zero at
+    f64-Schur), but the emulated-f64 step measured 2x+ slower per
+    iteration on small parametric bodies (opencv8_1cam sustained 1187
+    -> 526 it/s), so it is OFF by default — a NaN trial just rejects
+    and pumps lambda, which is cheaper than paying f64 every
+    iteration."""
     dt = ne["g_c"].dtype
     if ne["Hcc"].dtype == jnp.float32:
         # f32-ASSEMBLED H: its diag carries ~eps32 relative noise, so
@@ -570,15 +569,14 @@ def schur_step(ne, lam, spec: ProblemSpec):
         # Saturate the EFFECTIVE damping at a few eps32: the LM
         # control's lam may keep shrinking, but the factorization never
         # enters the noise regime.  This kills the accept/NaN-reject
-        # limit cycle (4cam bench config: 160 -> ~80 f32 iterations) and
-        # the splined-polish NaN crawl the round-3 notes describe.
+        # limit cycle (4cam bench config: 160 -> ~100 f32 iterations)
+        # and the splined-polish NaN crawl the round-3 notes describe.
         # MRCAL_TPU_F32_LAM_FLOOR overrides (0 disables).
         lam = jnp.maximum(jnp.asarray(lam, dt),
                           float(_os.environ.get("MRCAL_TPU_F32_LAM_FLOOR",
                                                 4e-7)))
-    env = _os.environ.get("MRCAL_TPU_SCHUR_F64")
     upcast = (dt == jnp.float32
-              and (not spec.is_splined if env is None else env != "0"))
+              and _os.environ.get("MRCAL_TPU_SCHUR_F64") == "1")
     if upcast:
         f64 = jnp.float64
         ne64 = {k: (v.astype(f64) if k[0] in "gHC" else v)
@@ -894,43 +892,56 @@ def _mark_outliers(spec: ProblemSpec, obs_board_np, x_board,
     return True, Nout_b, Nout_t
 
 
-def _check_gradient_report(spec, arrays, b, ncols_max=250, step=1e-5,
-                           verbose=False):
-    """optimize(check_gradient=True) body: AD-block Jacobian vs central
-    finite differences per state column (reference mrcal.c:6601
-    dogleg_testGradient loop).  Returns a stats dict with the worst
-    per-column error."""
+def _fd_column_errors(spec, arrays, b, cols, step=1e-5, J=None):
+    """AD-Jacobian column vs central finite difference, per state column.
+    The SHARED comparator behind optimize(check_gradient=True) and
+    tests/test_gradients.py.  J: an optional precomputed sparse Jacobian
+    (any scipy format); built from the CSR assembly if omitted.  Yields
+    (j, err, scale) — err = max |J_ad - J_fd| in column j, scale the
+    1+max|J_fd| normalizer.  Columns come from the CSC as O(nnz_col)
+    slices; the dense matrix is never formed (the canonical splined J is
+    34k x 1.6k)."""
     from .residuals import _sparse_jacobian, residuals_from_packed
     b = np.asarray(b)
-    # CSC gives O(nnz_col) column slices; NEVER densify — the canonical
-    # splined problem's dense J is 34k x 1.6k and the FD loop would drag
-    # it through memory once per column (round-3 VERDICT weak #4)
-    J = _sparse_jacobian(jnp.asarray(b), arrays, spec).tocsc()
+    if J is None:
+        J = _sparse_jacobian(jnp.asarray(b), arrays, spec)
+    J = J.tocsc()
 
     def resid(bb):
         return np.asarray(residuals_from_packed(jnp.asarray(bb), arrays,
                                                 spec))
 
-    cols = np.arange(spec.Nstate)
-    if spec.Nstate > ncols_max:
-        cols = np.random.default_rng(0).permutation(
-            spec.Nstate)[:ncols_max]
-    worst = 0.0
-    worst_col = -1
     for j in cols:
         bp = b.copy()
         bp[j] += step
         bm = b.copy()
         bm[j] -= step
         dnum = (resid(bp) - resid(bm)) / (2 * step)
-        Jcol = J[:, [j]].toarray().ravel()
+        Jcol = J[:, [int(j)]].toarray().ravel()
         err = float(np.max(np.abs(dnum - Jcol)))
         scale = 1.0 + float(np.max(np.abs(dnum)))
+        yield int(j), err, scale
+
+
+def _check_gradient_report(spec, arrays, b, ncols_max=250, step=1e-5,
+                           verbose=False):
+    """optimize(check_gradient=True) body: AD-block Jacobian vs central
+    finite differences per state column (reference mrcal.c:6601
+    dogleg_testGradient loop).  Returns a stats dict with the worst
+    per-column error."""
+    cols = np.arange(spec.Nstate)
+    if spec.Nstate > ncols_max:
+        cols = np.random.default_rng(0).permutation(
+            spec.Nstate)[:ncols_max]
+    worst = 0.0
+    worst_col = -1
+    for j, err, scale in _fd_column_errors(spec, arrays, b, cols,
+                                           step=step):
         if verbose:
             print(f"check_gradient: ivar {j}: max |J_ad - J_num| = "
                   f"{err:.3e} (relative {err / scale:.3e})")
         if err / scale > worst:
-            worst, worst_col = err / scale, int(j)
+            worst, worst_col = err / scale, j
     return dict(check_gradient=True,
                 ncols_checked=len(cols),
                 worst_relative_error=worst,
@@ -1129,12 +1140,24 @@ def optimize(**kw):
 _DEVICE_SOLVER_CACHE = {}
 
 
-def _make_device_lm(spec: ProblemSpec, ne_fn):
+_LAZY_H_GRAD_KEYS = ("E", "g_c", "g_f", "g_p",
+                     "x_board", "x_point", "x_tri", "x_reg")
+
+
+def _make_device_lm(spec: ProblemSpec, ne_fn, lazy_K=0):
     """The full trust-region LM loop as ONE jitted computation around an
     arbitrary normal-equations function ne_fn(b, arrays) -> ne dict.  The
     single-chip solver passes the generic/splined assembly; the sharded
     solver passes a shard_map'd psum-reduced assembly (the while_loop body
     is IDENTICAL — collectives ride inside ne_fn).
+
+    lazy_K > 0 enables LAZY-HESSIAN mode: the H blocks (Hcc/Hff/Cf/...)
+    refresh only every K-th ACCEPTED step, while E/gradient/residuals are
+    exact every iteration (inexact Newton with a stale quadratic model —
+    the gain-ratio control absorbs the model error, and XLA's dead-code
+    elimination makes the gradient-only branch skip the H assembly
+    automatically).  Used for the splined f32 phase, where the H
+    assembly is most of the iteration.
 
     Returns a callable solve(b0, arrays, max_iterations, update_threshold,
     lam0, ftol) -> (b, ne, niter), which ALSO exposes solve.start /
@@ -1150,21 +1173,37 @@ def _make_device_lm(spec: ProblemSpec, ne_fn):
         dt = b0.dtype
         return (b0, ne0, jnp.asarray(lam0, dt), jnp.asarray(2.0, dt),
                 jnp.asarray(0, jnp.int32), ne0["E"],
-                jnp.asarray(0, jnp.int32), jnp.asarray(False))
+                jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.asarray(0, jnp.int32))
 
     @jax.jit
     def run(state0, arrays, max_iterations, update_threshold, ftol):
         def cond(state):
-            b, ne, lam, nu, it, E_ref, it_ref, done = state
-            return (~done) & (it < max_iterations)
+            return (~state[7]) & (state[4] < max_iterations)
 
         def body(state):
             # carried `ne` = normal equations AT b: one NE eval/iteration
-            b, ne, lam, nu, it, E_ref, it_ref, done = state
+            # (H blocks possibly STALE in lazy mode; age counts accepted
+            # steps since the last H refresh)
+            b, ne, lam, nu, it, E_ref, it_ref, done, age = state
             dc, df, dp, pred = schur_step(ne, lam, spec)
             db = _delta_to_b(dc, df, dp, spec)
             b_try = b + db
-            ne_try = ne_fn(b_try, arrays)
+            if lazy_K:
+                def eval_full(b_):
+                    return ne_fn(b_, arrays)
+
+                def eval_grad(b_):
+                    new = ne_fn(b_, arrays)
+                    out = dict(ne)           # stale H blocks
+                    out.update({k: new[k] for k in _LAZY_H_GRAD_KEYS})
+                    return out
+
+                refresh = age >= lazy_K
+                ne_try = jax.lax.cond(refresh, eval_full, eval_grad,
+                                      b_try)
+            else:
+                ne_try = ne_fn(b_try, arrays)
             E = ne["E"]
             E_try = ne_try["E"]
             rho = jnp.where(pred > 0, (E - E_try) / pred, -1.0)
@@ -1202,7 +1241,10 @@ def _make_device_lm(spec: ProblemSpec, ne_fn):
             # max_iterations — no plateau or trust-region-collapse exits
             benchmark = (update_threshold <= 0.0) & (ftol <= 0.0)
             done = small | ((plateaued | (lam > 1e12)) & ~benchmark)
-            return (b, ne, lam, nu, it + 1, E_ref, it_ref, done)
+            if lazy_K:
+                age = jnp.where(accept,
+                                jnp.where(refresh, 0, age + 1), age)
+            return (b, ne, lam, nu, it + 1, E_ref, it_ref, done, age)
 
         return jax.lax.while_loop(cond, body, state0)
 
@@ -1269,15 +1311,32 @@ def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
     return state[0], state[1], state[4]
 
 
+def _lazy_h_K(spec: ProblemSpec, dtype):
+    """Lazy-Hessian refresh interval: ON for the splined f32 phase (its H
+    assembly is most of the iteration; measured ~1.7x sustained it/s at
+    identical converged rms), OFF elsewhere (parametric H assembly is
+    cheap, and the f64 polish wants the exact quadratic model).
+    MRCAL_TPU_LAZY_H=<K> overrides (0 disables)."""
+    env = _os.environ.get("MRCAL_TPU_LAZY_H")
+    if env is not None:
+        return int(env)
+    if spec.is_splined and dtype == jnp.float32 \
+            and jax.default_backend() != "cpu":
+        return 8
+    return 0
+
+
 def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
     """Compile (once per problem shape) the full device-resident LM loop.
     max_iterations/update_threshold are DYNAMIC inputs so one compilation
     serves every call."""
-    key = (spec, static_idx_key, str(dtype))
+    lazy_K = _lazy_h_K(spec, dtype)
+    key = (spec, static_idx_key, str(dtype), lazy_K)
     if key in _DEVICE_SOLVER_CACHE:
         return _DEVICE_SOLVER_CACHE[key]
     solve = _make_device_lm(spec, build_normal_equations(spec, None,
-                                                         static_idx))
+                                                         static_idx),
+                            lazy_K=lazy_K)
     _DEVICE_SOLVER_CACHE[key] = solve
     return solve
 
@@ -1577,7 +1636,11 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
     # of HBM traffic on the canonical splined problem (round-4 probes).
     Nce = spec.Ncameras_extrinsics
     M2 = 2 * Ncorners
-    CHO = max(1, 4096 // M2)              # observations per chunk
+    # observations per chunk: MRCAL_TPU_SPLINED_CHUNK = target corner-row
+    # count per chunk (v5e sweep at 30x18 knots: 4096 and 16384 measure
+    # within noise; tiny chunks pay fori_loop overhead)
+    _chunk_rows = int(_os.environ.get("MRCAL_TPU_SPLINED_CHUNK", 4096))
+    CHO = max(1, _chunk_rows // M2)
     CH = CHO * Ncorners                   # corners per chunk
     NobsPad = (Nobs + CHO - 1) // CHO * CHO
 
@@ -1667,8 +1730,12 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
                     jnp.einsum("oci,ocd->oid", Jf_oh, rows_o))
                 Hff = Hff.at[ifr_o].add(
                     jnp.einsum("oci,ocj->oij", Jf_oh, Jf_oh))
-        # the GRADIENT in full precision.  use_h32: small einsums +
-        # scatter-adds (no emulated-f64 matmuls); else: through rows
+        # the GRADIENT in full precision.  use_h32 (f64 polish): small
+        # einsums + scatter-adds — no emulated-f64 matmuls.  f32 phase:
+        # THROUGH rows — switching it to the scatter-add path was tried
+        # (to let the lazy-H gradient branch DCE the one-hot too) and
+        # measured 2x SLOWER end-to-end (97.6 vs 200.7 it/s sustained):
+        # per-iteration TPU scatter-adds dominate.  Don't redo.
         if use_h32:
             gi = jnp.einsum("nrw,nr->nw", Jw_c, r_c)     # (CH, Nwin)
             g_c = g_c.at[wincols_c].add(gi)
@@ -1679,6 +1746,12 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
             g_c = g_c.at[cl.w0:cl.w0 + 2].add(
                 jnp.einsum("nri,nr->i", Jwp_c, r_c))
         else:
+            # THROUGH rows.  Tried and REVERTED (round 4, measured on
+            # the v5e): (a) per-corner scatter-adds — 97.6 it/s vs
+            # 200.7 (TPU scatters serialize); (b) g^T = oh^T(Jw^T r)
+            # one-hot contraction — 152 it/s AND the bf16 gi degraded
+            # the gradient enough to double the polish (48 iters).
+            # Don't redo either.
             g_c = g_c + jnp.einsum("nrc,nr->c", rows.astype(dt), r_c)
         if Nf:
             g_f = g_f.at[ifr_o].add(

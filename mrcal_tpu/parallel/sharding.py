@@ -676,10 +676,14 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
         ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-6
     rep, sh = _shard_arrays_for_device_solver(arrays, n_dev)
 
-    key = (spec, tuple(int(d.id) for d in mesh.devices.flat), axis)
+    from ..optimize.solver import _lazy_h_K
+    lazy_K = _lazy_h_K(spec, b0.dtype)
+    key = (spec, tuple(int(d.id) for d in mesh.devices.flat), axis,
+           str(b0.dtype), lazy_K)
     solve = _SHARDED_SOLVER_CACHE.get(key)
     if solve is None:
-        solve = _make_device_lm(spec, _make_sharded_ne_fn(spec, mesh, axis))
+        solve = _make_device_lm(spec, _make_sharded_ne_fn(spec, mesh, axis),
+                                lazy_K=lazy_K)
         _SHARDED_SOLVER_CACHE[key] = solve
 
     with _matmul_precision_ctx(b0.dtype, spec):

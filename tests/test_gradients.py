@@ -31,29 +31,20 @@ from __graft_entry__ import _make_problem  # noqa: E402
 
 
 def _check_gradients(oi, ncols=25, seed=0, step=1e-5, atol=5e-6):
-    """Compare optimizer_callback's J against central differences of
-    residuals_from_packed over a random subset of state columns."""
+    """Compare optimizer_callback's J against central differences over a
+    random subset of state columns (the shared comparator behind
+    optimize(check_gradient=True))."""
+    from mrcal_tpu.optimize.solver import _fd_column_errors
     spec = spec_from_inputs(**oi)
     arrays = arrays_from_inputs(**oi)
     b = np.asarray(pack_params(params_from_arrays(arrays), spec))
     _, x, J = optimizer_callback(**oi)
-    J = J.toarray()
     assert J.shape == (spec.Nmeasurements, spec.Nstate)
-
-    def resid(bb):
-        return np.asarray(residuals_from_packed(jnp.asarray(bb), arrays,
-                                                spec))
 
     rng = np.random.default_rng(seed)
     cols = rng.permutation(spec.Nstate)[:min(ncols, spec.Nstate)]
-    for j in cols:
-        bp = b.copy()
-        bp[j] += step
-        bm = b.copy()
-        bm[j] -= step
-        dnum = (resid(bp) - resid(bm)) / (2 * step)
-        err = np.max(np.abs(dnum - J[:, j]))
-        scale = 1.0 + np.max(np.abs(dnum))
+    for j, err, scale in _fd_column_errors(spec, arrays, b, cols,
+                                           step=step, J=J):
         assert err / scale < atol, \
             f"column {j}: max |J_ad - J_fd| = {err:.3e} (scale {scale:.1e})"
     return spec
