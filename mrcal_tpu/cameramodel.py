@@ -338,6 +338,14 @@ class cameramodel:
             self._imagersize = np.array(model["imagersize"], dtype=int)
         elif "imager_size" in model:
             self._imagersize = np.array(model["imager_size"], dtype=int)
+        else:
+            # the reference's parser requires it (cameramodel-parser.re:
+            # a model without an imagersize is rejected)
+            raise CameramodelParseException(
+                "cameramodel must have 'imagersize'")
+        if self._imagersize.shape != (2,):
+            raise CameramodelParseException(
+                "'imagersize' must have shape (2,)")
         rt = model.get("rt_cam_ref", model.get("extrinsics"))
         if rt is not None:
             self._rt_cam_ref = np.array(rt, dtype=float)

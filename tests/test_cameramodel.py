@@ -38,6 +38,45 @@ def test_string_roundtrip():
     assert np.allclose(m2.intrinsics()[1], m.intrinsics()[1])
 
 
+def test_parser_rejects_malformed():
+    """Malformed .cameramodel inputs raise CameramodelParseException
+    (reference: test-parser-cameramodel.c's malformed cases against the
+    re2c parser)."""
+    import pytest
+    good = str(_model())
+    bad_cases = [
+        "",                                   # empty
+        "not a cameramodel at all",           # garbage
+        "{",                                  # truncated dict
+        good[: len(good) // 2],               # truncated mid-stream
+        good.replace("'intrinsics':", "'intrnsics':", 1),    # missing key
+        good.replace("'imagersize':", "'imagersize_':", 1),  # missing key
+        "{ 'lensmodel': 'LENSMODEL_BOGUS_42',"
+        " 'intrinsics': [1,2,3,4],"
+        " 'imagersize': [10,10],"
+        " 'extrinsics': [0,0,0,0,0,0] }",     # unknown lensmodel
+        "{ 'lensmodel': 'LENSMODEL_PINHOLE',"
+        " 'intrinsics': [1,2,3],"             # wrong param count
+        " 'imagersize': [10,10],"
+        " 'extrinsics': [0,0,0,0,0,0] }",
+    ]
+    for s in bad_cases:
+        # multi-format ingestion wraps the per-format
+        # CameramodelParseException in a summary Exception (like the
+        # reference's "couldn't parse" aggregation); either is a clean
+        # rejection, never a crash or a silently-wrong model
+        with pytest.raises(Exception) as e:
+            mrcal.cameramodel(io.StringIO(s))
+        assert ("parse" in str(e.value).lower()
+                or isinstance(e.value, (mrcal.CameramodelParseException,
+                                        ValueError, KeyError))), \
+            (s[:40], type(e.value), str(e.value)[:80])
+
+    # the good model still parses after all that
+    m2 = mrcal.cameramodel(io.StringIO(good))
+    assert np.allclose(m2.intrinsics()[1], _model().intrinsics()[1])
+
+
 def test_extrinsics_representations():
     m = _model()
     rt_fromref = m.extrinsics_rt_fromref()
