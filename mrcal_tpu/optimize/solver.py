@@ -1144,7 +1144,56 @@ _LAZY_H_GRAD_KEYS = ("E", "g_c", "g_f", "g_p",
                      "x_board", "x_point", "x_tri", "x_reg")
 
 
-def _make_device_lm(spec: ProblemSpec, ne_fn, lazy_K=0):
+def _make_grad_fn(spec: ProblemSpec):
+    """E/gradient/residuals in ONE reverse pass: g = J^T x via
+    value_and_grad of 0.5||x(b)||^2 through the full residual function,
+    split into the solver's block layout.  Used as the lazy-Hessian
+    gradient branch for PARAMETRIC models, where the backward pass has
+    no gather/scatter pathology — for splined models the coeff-gather
+    backward is a scatter-add and measured 4x slower than the one-hot
+    rows path, so they use the DCE-based branch instead."""
+    from .residuals import residuals_from_packed
+    cl = _CLayout(spec)
+    Nf = spec.Nframes
+    Npv = spec.Npoints_variable
+    nb = spec.num_measurements_boards
+    npt = spec.num_measurements_points
+    nt = spec.num_measurements_points_triangulated
+
+    def fn(b, arrays):
+        def half_sq(bb):
+            x = residuals_from_packed(bb, arrays, spec)
+            return 0.5 * jnp.sum(x * x), x
+
+        (E2, x), gb = jax.value_and_grad(half_sq, has_aux=True)(b)
+        dt = b.dtype
+        g_c = jnp.zeros(cl.Nc, dt)
+        i = 0
+        if spec.num_states_intrinsics:
+            g_c = g_c.at[:cl.e0].set(gb[i:i + cl.e0])
+            i += cl.e0
+        if spec.num_states_extrinsics:
+            g_c = g_c.at[cl.e0:cl.w0].set(gb[i:i + cl.w0 - cl.e0])
+            i += cl.w0 - cl.e0
+        g_f = jnp.zeros((max(Nf, 1), 6), dt)
+        if spec.num_states_frames:
+            g_f = g_f.at[:Nf].set(gb[i:i + 6 * Nf].reshape(Nf, 6))
+            i += 6 * Nf
+        g_p = jnp.zeros((max(Npv, 1), 3), dt)
+        if spec.num_states_points:
+            g_p = g_p.at[:Npv].set(gb[i:i + 3 * Npv].reshape(Npv, 3))
+            i += 3 * Npv
+        if spec.num_states_calobject_warp:
+            g_c = g_c.at[cl.w0:cl.w0 + 2].set(gb[i:i + 2])
+        return dict(E=2.0 * E2, g_c=g_c, g_f=g_f, g_p=g_p,
+                    x_board=x[:nb], x_point=x[nb:nb + npt],
+                    x_tri=x[nb + npt:nb + npt + nt],
+                    x_reg=x[nb + npt + nt:])
+
+    return fn
+
+
+def _make_device_lm(spec: ProblemSpec, ne_fn, lazy_K=0, grad_fn=None):
     """The full trust-region LM loop as ONE jitted computation around an
     arbitrary normal-equations function ne_fn(b, arrays) -> ne dict.  The
     single-chip solver passes the generic/splined assembly; the sharded
@@ -1194,7 +1243,10 @@ def _make_device_lm(spec: ProblemSpec, ne_fn, lazy_K=0):
                     return ne_fn(b_, arrays)
 
                 def eval_grad(b_):
-                    new = ne_fn(b_, arrays)
+                    # grad_fn: one reverse pass (parametric); otherwise
+                    # the ne_fn subset — XLA DCEs the H assembly
+                    new = (grad_fn(b_, arrays) if grad_fn is not None
+                           else ne_fn(b_, arrays))
                     out = dict(ne)           # stale H blocks
                     out.update({k: new[k] for k in _LAZY_H_GRAD_KEYS})
                     return out
@@ -1242,6 +1294,12 @@ def _make_device_lm(spec: ProblemSpec, ne_fn, lazy_K=0):
             benchmark = (update_threshold <= 0.0) & (ftol <= 0.0)
             done = small | ((plateaued | (lam > 1e12)) & ~benchmark)
             if lazy_K:
+                # schedule-only refresh.  A refresh-on-trouble variant
+                # (force fresh H after rejects / rho far from 1) was
+                # tried and measured WORSE everywhere (splined conv
+                # 2.38 -> 3.86 s, sustained 201 -> 169 it/s; 4cam
+                # sustained 1385 -> 626): the benchmark/plateau regimes
+                # reject often enough that it degenerates to eager H.
                 age = jnp.where(accept,
                                 jnp.where(refresh, 0, age + 1), age)
             return (b, ne, lam, nu, it + 1, E_ref, it_ref, done, age)
@@ -1312,11 +1370,14 @@ def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
 
 
 def _lazy_h_K(spec: ProblemSpec, dtype):
-    """Lazy-Hessian refresh interval: ON for the splined f32 phase (its H
-    assembly is most of the iteration; measured ~1.7x sustained it/s at
-    identical converged rms), OFF elsewhere (parametric H assembly is
-    cheap, and the f64 polish wants the exact quadratic model).
-    MRCAL_TPU_LAZY_H=<K> overrides (0 disables)."""
+    """Lazy-Hessian refresh interval for the f32 phase.  Default ON for
+    SPLINED models only (measured ~1.7x sustained it/s at identical
+    converged rms and a slightly better convergence wall).  Parametric
+    models keep the exact model by default: lazy measured 1cam/4cam
+    sustained 1239->1610 / 578->1385 it/s but the 4cam CONVERGENCE wall
+    went 1.5 -> 5.0 s (the stale-H f32 phase hands the f64 polish a
+    worse point: 16 -> 80 polish iterations) — a bad trade for real
+    solves.  MRCAL_TPU_LAZY_H=<K> overrides (0 disables)."""
     env = _os.environ.get("MRCAL_TPU_LAZY_H")
     if env is not None:
         return int(env)
@@ -1334,9 +1395,12 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
     key = (spec, static_idx_key, str(dtype), lazy_K)
     if key in _DEVICE_SOLVER_CACHE:
         return _DEVICE_SOLVER_CACHE[key]
+    # parametric models get the one-reverse-pass gradient branch;
+    # splined ones rely on DCE of the ne_fn (see _make_grad_fn)
+    grad_fn = None if spec.is_splined else _make_grad_fn(spec)
     solve = _make_device_lm(spec, build_normal_equations(spec, None,
                                                          static_idx),
-                            lazy_K=lazy_K)
+                            lazy_K=lazy_K, grad_fn=grad_fn)
     _DEVICE_SOLVER_CACHE[key] = solve
     return solve
 
