@@ -188,7 +188,7 @@ def time_factorization(prefix, Nstate, Nmeas, Nnz):
         return min(ts), r
 
     t_splu, lu = best_of(lambda: spla.splu(JtJ))
-    t_splu_mmd, _ = best_of(
+    t_splu_mmd, lu_mmd = best_of(
         lambda: spla.splu(JtJ, permc_spec="MMD_AT_PLUS_A"))
     rhs = np.ones(Nstate)
     t_solve_sp, _ = best_of(lambda: lu.solve(rhs))
@@ -199,9 +199,28 @@ def time_factorization(prefix, Nstate, Nmeas, Nnz):
         t_solve_d, _ = best_of(lambda: sla.cho_solve(cf, rhs))
     else:
         t_chol, t_solve_d = np.inf, np.inf
+
+    # FLOP-bound on ANY sparse Cholesky of this system: the best
+    # elimination found (fewest-fill L between COLAMD and MMD) costs
+    # sum_col nnz(L_col)^2 flops; divide by the machine's measured
+    # single-core dense-Cholesky rate (its best case).  CHOLMOD cannot
+    # beat this, so it bounds the reference's factorization from below
+    # (and the vs_baseline band from above).
+    L_nnz_cols = np.minimum(np.diff(lu.L.tocsc().indptr),
+                            np.diff(lu_mmd.L.tocsc().indptr))
+    chol_flops = float(np.sum(L_nnz_cols.astype(np.float64) ** 2))
+    n_rate = min(Nstate, 1500)
+    Ar = np.eye(n_rate) * n_rate + np.random.default_rng(0).normal(
+        0, 0.01, (n_rate, n_rate))
+    Ar = Ar @ Ar.T
+    t_rate, _ = best_of(lambda: sla.cho_factor(Ar.copy()))
+    gflops = (n_rate ** 3 / 3.0) / t_rate / 1e9
+    t_fact_lo = chol_flops / (gflops * 1e9)
     return dict(t_splu_s=t_splu, t_splu_mmd_s=t_splu_mmd,
                 t_dense_chol_s=t_chol,
                 t_factorize_s=min(t_splu, t_splu_mmd, t_chol),
+                t_factorize_flop_bound_s=t_fact_lo,
+                dense_chol_gflops=gflops,
                 t_solve_s=min(t_solve_sp, t_solve_d),
                 jtj_nnz=int(JtJ.nnz))
 
@@ -238,7 +257,11 @@ def main():
         fac = time_factorization(prefix, d["Nstate"], d["Nmeas"], d["Nnz"])
         t_cb = d["t_callback_with_J_s"]
         t_iter = t_cb + fac["t_factorize_s"] + fac["t_solve_s"]
-        t_lo = t_cb                                   # reject iterations
+        # band: [the best-possible factorization (FLOP bound of the
+        #        best elimination found, clamped by the measurement),
+        #        2 factorizations + 4 solves per iteration]
+        t_lo = t_cb + min(fac["t_factorize_flop_bound_s"],
+                          fac["t_factorize_s"])
         t_hi = t_cb + 2 * fac["t_factorize_s"] + 4 * fac["t_solve_s"]
         out["configs"][name] = dict(
             t_callback_s=round(t_cb, 6),
