@@ -61,6 +61,12 @@ int main(int argc, char **argv)
     int Nci = hdr[1], Nce = hdr[2], Nframes = hdr[3], Npoints = hdr[4],
         Npoints_fixed = hdr[5], Nobs_board = hdr[6], Nobs_point = hdr[7],
         Wn = hdr[8], Hn = hdr[9], name_len = hdr[10], Nobs_tri = hdr[11];
+    if (name_len < 1 || name_len > 500)
+    {
+        fprintf(stderr, "bad lensmodel-name length %d in dump\n",
+                name_len);
+        return 1;
+    }
     int32_t sel[8];
     read_exact(sel, sizeof(sel), fp);
     char name[512];

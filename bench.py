@@ -83,17 +83,28 @@ def _perturbed_oi(oi, seed=1, scale=1e-2, perturb_intrinsics=False):
     return oi
 
 
-def _measured_baseline(name):
+def _measured_baseline(name, spec=None):
     """Measured C-reference it/s from bench_baseline_c.py's artifact
     (the real compiled reference optimizer_callback + measured
-    factorization of the actual JtJ), if present.  Returns
-    (its, band, True) or (None, None, False)."""
+    factorization of the actual JtJ), if present AND measured on the
+    same problem shape — a stale measurement against a changed scene
+    must not masquerade as 'measured'.  Returns (its, band, True) or
+    (None, None, False)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "baseline_c_measured.json")
     try:
         with open(path) as f:
             cfgs = json.load(f)["configs"]
         c = cfgs[name]
+        if spec is not None and \
+                (int(c["Nmeas"]) != int(spec.Nmeasurements)
+                 or int(c["Nstate"]) != int(spec.Nstate)):
+            _log(f"[{name}] baseline_c_measured.json is for "
+                 f"Nmeas={c['Nmeas']}/Nstate={c['Nstate']} but the scene "
+                 f"is {spec.Nmeasurements}/{spec.Nstate}; re-run "
+                 "bench_baseline_c.py (falling back to the modeled "
+                 "estimate)")
+            return None, None, False
         return (float(c["iterations_per_s"]),
                 list(c["iterations_per_s_band"]), True)
     except (OSError, KeyError, ValueError):
@@ -106,7 +117,7 @@ def _board_config(name, rms_gate, **mk):
 
     oi, spec, arrays, b0 = _make_problem(**mk)
     oi["do_apply_outlier_rejection"] = False
-    baseline, band, measured = _measured_baseline(name)
+    baseline, band, measured = _measured_baseline(name, spec)
     if baseline is None:
         baseline = _C_EST_CAL / spec.Nmeasurements
         if spec.is_splined:
@@ -163,7 +174,7 @@ def _sfm_config():
         do_apply_outlier_rejection=False,
     )
     spec = spec_from_inputs(**oi)
-    baseline, band, measured = _measured_baseline("sfm_triangulated")
+    baseline, band, measured = _measured_baseline("sfm_triangulated", spec)
     if baseline is None:
         baseline = _C_EST_CAL / max(spec.Nmeasurements, 1)
     return dict(name="sfm_triangulated", oi=oi, spec=spec, baseline=baseline,

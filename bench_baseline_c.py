@@ -58,10 +58,18 @@ def build_driver():
     if not os.path.exists(mm):
         env = dict(os.environ,
                    PERL5LIB=os.path.join(CDIR, "perl_shim"))
-        with open(mm, "w") as f:
-            subprocess.run(
-                ["perl", f"{REF}/minimath/minimath_generate.pl"],
-                stdout=f, env=env, check=True)
+        # write-to-temp + rename: a failed perl run must not leave an
+        # empty header that poisons every later (cached) build
+        tmp = mm + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                subprocess.run(
+                    ["perl", f"{REF}/minimath/minimath_generate.pl"],
+                    stdout=f, env=env, check=True)
+            os.replace(tmp, mm)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     flags = ["-O3", "-march=native", "-ffast-math", "-include", "stddef.h",
              "-I", os.path.join(CDIR, "stub"), "-I", REF,
              "-I", gen]

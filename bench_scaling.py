@@ -156,9 +156,11 @@ def main():
     for line in hlo.splitlines():
         if not re.search(r"all-reduce(?:-start)?\(", line):
             continue
-        # shapes live between '=' and the 'all-reduce(' call:
+        # shapes live between '=' and the 'all-reduce(' (or
+        # 'all-reduce-start(') call:
         #   %all-reduce.1 = (f64[], f64[8,6,32]{2,1,0}, ...) all-reduce(
-        shape_part = line.split("all-reduce(")[0].split("=", 1)[-1]
+        shape_part = re.split(r"all-reduce(?:-start)?\(",
+                              line)[0].split("=", 1)[-1]
         for bits, dims in re.findall(r"\bf(\d+)\[([\d,]*)\]", shape_part):
             n = 1
             for d in dims.split(","):

@@ -1251,6 +1251,13 @@ def _make_device_lm(spec: ProblemSpec, ne_fn, lazy_K=0, grad_fn=None):
                     out.update({k: new[k] for k in _LAZY_H_GRAD_KEYS})
                     return out
 
+                # age counts accepted steps since the last refresh: up
+                # to K accepted steps ride the stale H, the (K+1)-th
+                # trial is evaluated in full.  (Tightening this to
+                # K-1 — refresh one step earlier — was tried and
+                # measured WORSE on the canonical splined convergence,
+                # 62 -> 80 iterations / 2.4 -> 3.9 s: the refresh
+                # phase shift interacts with the plateau window.)
                 refresh = age >= lazy_K
                 ne_try = jax.lax.cond(refresh, eval_full, eval_grad,
                                       b_try)
@@ -1387,12 +1394,23 @@ def _lazy_h_K(spec: ProblemSpec, dtype):
     return 0
 
 
+def _trace_env_key(spec: ProblemSpec):
+    """Env knobs that BAKE INTO the compiled solver at trace time; they
+    must participate in the solver cache keys or changing them mid-
+    process would be silently ignored."""
+    return (_use_splined_sparse(spec),
+            _os.environ.get("MRCAL_TPU_F32_LAM_FLOOR", "4e-7"),
+            _os.environ.get("MRCAL_TPU_SCHUR_F64"),
+            _os.environ.get("MRCAL_TPU_SPLINED_F64_H32", "1"),
+            _os.environ.get("MRCAL_TPU_SPLINED_CHUNK", "4096"))
+
+
 def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
     """Compile (once per problem shape) the full device-resident LM loop.
     max_iterations/update_threshold are DYNAMIC inputs so one compilation
     serves every call."""
     lazy_K = _lazy_h_K(spec, dtype)
-    key = (spec, static_idx_key, str(dtype), lazy_K)
+    key = (spec, static_idx_key, str(dtype), lazy_K, _trace_env_key(spec))
     if key in _DEVICE_SOLVER_CACHE:
         return _DEVICE_SOLVER_CACHE[key]
     # parametric models get the one-reverse-pass gradient branch;

@@ -455,8 +455,11 @@ def collective_bytes_per_iteration(spec: ProblemSpec, dtype=np.float64):
     Nf = max(spec.Nframes, 1)
     Npv = max(spec.Npoints_variable, 1)
     itemsize = np.dtype(dtype).itemsize
-    # splined f64 polish keeps H blocks in f32 (MRCAL_TPU_SPLINED_F64_H32)
-    h_itemsize = itemsize
+    # the splined f64 polish keeps its H/C blocks in f32
+    # (MRCAL_TPU_SPLINED_F64_H32) — only the gradients ride in f64
+    h_itemsize = (4 if (spec.is_splined
+                        and np.dtype(dtype).itemsize == 8)
+                  else itemsize)
     breakdown = dict(
         E=1, g_c=Nc, g_f=Nf * 6, g_p=Npv * 3,
         Hcc=Nc * Nc, Hff=Nf * 36, Cf=Nf * 6 * Nc,
@@ -676,10 +679,10 @@ def sharded_lm_solve_device(spec: ProblemSpec, arrays, b0, mesh,
         ftol = 1e-5 if b0.dtype == jnp.float32 else 1e-6
     rep, sh = _shard_arrays_for_device_solver(arrays, n_dev)
 
-    from ..optimize.solver import _lazy_h_K
+    from ..optimize.solver import _lazy_h_K, _trace_env_key
     lazy_K = _lazy_h_K(spec, b0.dtype)
     key = (spec, tuple(int(d.id) for d in mesh.devices.flat), axis,
-           str(b0.dtype), lazy_K)
+           str(b0.dtype), lazy_K, _trace_env_key(spec))
     solve = _SHARDED_SOLVER_CACHE.get(key)
     if solve is None:
         solve = _make_device_lm(spec, _make_sharded_ne_fn(spec, mesh, axis),

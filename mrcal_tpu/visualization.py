@@ -117,7 +117,14 @@ def show_geometry(models_or_rt_cam_ref=None,
                     calobject_warp = oi.get("calobject_warp")
         if points is None and show_points and \
                 oi.get("points") is not None:
-            points = oi["points"]
+            points = np.asarray(oi["points"])
+            if show_points == "thiscamera" and icam_oi is not None:
+                idxp = np.asarray(
+                    oi.get("indices_point_camintrinsics_camextrinsics",
+                           np.zeros((0, 3))))
+                if len(idxp):
+                    points = points[np.unique(
+                        idxp[idxp[:, 1] == icam_oi][:, 0])]
 
     # auto axis scale: a fraction of the scene extent (reference computes
     # this in _options_heatmap_with_contours-style logic)
@@ -396,7 +403,8 @@ def show_projection_uncertainty_vs_distance(
                                extratitle))
     ax.semilogx(distances, np.asarray(unc))
     ax.set_xlabel("distance [m]")
-    ax.set_ylabel("worst-direction stdev [pixels]")
+    ax.set_ylabel(("rms" if isotropic else "worst-direction")
+                  + " stdev [pixels]")
     ax.grid(True)
     return _finish(fig, hardcopy), np.asarray(unc)
 
