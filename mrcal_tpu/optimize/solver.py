@@ -1466,6 +1466,244 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     return b, float(ne["E"]), int(it), ne
 
 
+# ----------------------------------------------------------------------------
+# batched solves: many same-structure problems in ONE device program
+# ----------------------------------------------------------------------------
+
+_BATCH_SOLVER_CACHE = {}
+
+
+def _get_batched_solver(spec, static_idx_key, static_idx, dtype, axes):
+    """vmap of the device-resident LM over a problem batch: float arrays
+    carry a leading batch axis, the (structure-defining) index arrays are
+    shared.  JAX's while_loop batching rule freezes finished problems
+    (state = select(cond, body(state), state)), so the batch runs until
+    the slowest problem converges."""
+    key = (spec, static_idx_key, str(dtype), tuple(sorted(axes.items())),
+           _trace_env_key(spec))
+    if key in _BATCH_SOLVER_CACHE:
+        return _BATCH_SOLVER_CACHE[key]
+    base = _get_device_solver(spec, static_idx_key, static_idx, dtype)
+
+    start_b = jax.jit(jax.vmap(base.start, in_axes=(0, axes, None)))
+    run_b = jax.jit(jax.vmap(base.run, in_axes=(0, axes, None, None, None)))
+
+    def solve(b0, arrays, max_iterations, update_threshold, lam0, ftol):
+        state = start_b(b0, arrays, lam0)
+        state = run_b(state, arrays, max_iterations, update_threshold,
+                      ftol)
+        return state[0], state[1], state[4]
+
+    solve.start = start_b
+    solve.run = run_b
+    _BATCH_SOLVER_CACHE[key] = solve
+    return solve
+
+
+def _run_batch_chunked(solve, b0, arrays, max_iterations,
+                       update_threshold, lam0, ftol, chunk0=64,
+                       target_s=4.0):
+    """Bounded-duration dispatch loop for the BATCHED solver (see
+    _run_device_lm_chunked): per-problem iteration counters / done flags
+    are vectors, the host reads their max/all."""
+    import time as _time
+    dt = b0.dtype
+    thr = jnp.asarray(update_threshold, dt)
+    ftol_d = jnp.asarray(ftol, dt)
+    state = solve.start(b0, arrays, jnp.asarray(lam0, dt))
+    rate_known = getattr(solve, "_it_rate", {}).get(str(dt))
+    seg = (int(min(max(rate_known * target_s, chunk0), 200_000))
+           if rate_known else int(chunk0))
+    it_done = 0
+    while True:
+        stop_at = min(int(max_iterations), it_done + seg)
+        t0 = _time.perf_counter()
+        state = solve.run(state, arrays,
+                          jnp.asarray(stop_at, jnp.int32), thr, ftol_d)
+        it_new = int(np.max(np.asarray(state[4])))
+        dt_seg = _time.perf_counter() - t0
+        ran = max(it_new - it_done, 1)
+        it_done = it_new
+        rate = ran / max(dt_seg, 1e-3)
+        if ran >= 32 and dt_seg > 0.05:
+            if not hasattr(solve, "_it_rate"):
+                solve._it_rate = {}
+            solve._it_rate[str(dt)] = rate
+        if bool(np.all(np.asarray(state[7]))) \
+                or it_done >= int(max_iterations):
+            break
+        seg = int(min(max(chunk0, rate * target_s), 200_000))
+    return state[0], state[1], state[4]
+
+
+def _float_axes(arrays):
+    return {k: (0 if jnp.issubdtype(v.dtype, jnp.floating) else None)
+            for k, v in arrays.items()}
+
+
+def lm_solve_device_batch(spec: ProblemSpec, arrays_b, b0_b,
+                          max_iterations=300, update_threshold=1e-7,
+                          dtype=None, quiet=False, lam0=1e-4, ftol=None):
+    """Batched lm_solve_device: arrays_b's FLOAT leaves carry a leading
+    problem axis (index arrays shared — the problems must have identical
+    structure).  Returns (b (B,Nstate), E (B,), niter (B,), ne with
+    leading batch axes)."""
+    static_idx = dict(board=np.asarray(arrays_b["indices_board"]),
+                      point=np.asarray(arrays_b["indices_point"]))
+    if dtype is not None:
+        arrays_b = _cast_arrays(arrays_b, dtype)
+        b0_b = jnp.asarray(b0_b, dtype)
+    b0_b = jnp.asarray(b0_b)
+    eff_threshold = _effective_threshold(update_threshold, b0_b.dtype,
+                                         quiet)
+    if ftol is None:
+        ftol = 1e-5 if b0_b.dtype == jnp.float32 else 1e-6
+    static_idx_key = (static_idx["board"].tobytes(),
+                      static_idx["point"].tobytes())
+    axes = _float_axes(arrays_b)
+    solve = _get_batched_solver(spec, static_idx_key, static_idx,
+                                b0_b.dtype, axes)
+    with _matmul_precision_ctx(b0_b.dtype, spec):
+        if _use_chunked_dispatch():
+            b, ne, it = _run_batch_chunked(
+                solve, b0_b, arrays_b, max_iterations, eff_threshold,
+                lam0, ftol)
+        else:
+            b, ne, it = solve(b0_b, arrays_b,
+                              jnp.asarray(max_iterations, jnp.int32),
+                              jnp.asarray(eff_threshold, b0_b.dtype),
+                              jnp.asarray(lam0, b0_b.dtype),
+                              jnp.asarray(ftol, b0_b.dtype))
+    return b, np.asarray(ne["E"]), np.asarray(it), ne
+
+
+def optimize_batch(problems, **common_kw):
+    """Solve MANY same-structure calibration problems as ONE batched
+    device program — the TPU serving mode.  A single small problem is
+    latency-limited on the accelerator; batching B problems runs their
+    LM loops in lockstep (finished problems freeze while the rest
+    iterate), multiplying aggregate throughput.
+
+    problems: list of mrcal-style optimization_inputs dicts.  Every
+    problem must share the same lensmodel, counts and observation-index
+    structure (e.g. a fleet of single-camera calibrations from the same
+    rig design); the float inputs (observations, initial geometry)
+    differ per problem.  common_kw: max_iterations, update_threshold,
+    precision ('mixed'|'f32'|'f64', same defaults as optimize()).
+
+    Like optimize(), MUTATES each problem's arrays with its solution
+    and runs the outlier-rejection outer loop (host-side per problem,
+    batched re-solves).  Returns a list of per-problem stats dicts."""
+    if not problems:
+        return []
+    kws = [_layout.normalize_inputs(dict(p)) for p in problems]
+    specs = [spec_from_inputs(**kw) for kw in kws]
+    spec = specs[0]
+    for s in specs[1:]:
+        if s != spec:
+            raise ValueError("optimize_batch needs identical problem "
+                             "structure across the batch")
+    arrays_list = [arrays_from_inputs(**kw) for kw in kws]
+    idx0 = {k: np.asarray(arrays_list[0][k])
+            for k in ("indices_board", "indices_point")}
+    for a in arrays_list[1:]:
+        for k, v in idx0.items():
+            if not np.array_equal(np.asarray(a[k]), v):
+                raise ValueError("optimize_batch needs identical "
+                                 f"'{k}' across the batch")
+
+    max_iterations = int(common_kw.get("max_iterations", 300))
+    update_threshold = float(common_kw.get("update_threshold", 1e-7))
+    ftol = common_kw.get("ftol")
+    precision = common_kw.get("precision")
+    if precision is None:
+        precision = ("mixed" if jax.default_backend() != "cpu" else "f64")
+
+    def stack(arrays_list):
+        out = dict(arrays_list[0])
+        for k, v in arrays_list[0].items():
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                out[k] = jnp.stack([a[k] for a in arrays_list])
+        return out
+
+    B = len(problems)
+    np_obs = [np.asarray(kw["observations_board"])
+              if kw.get("observations_board") is not None else None
+              for kw in kws]
+
+    while True:
+        arrays_b = stack(arrays_list)
+        b0 = jnp.stack([pack_params(params_from_arrays(a), spec)
+                        for a in arrays_list])
+        if precision == "f32":
+            b, E, it, ne = lm_solve_device_batch(
+                spec, arrays_b, b0, max_iterations=max_iterations,
+                update_threshold=update_threshold, dtype=jnp.float32,
+                quiet=True, ftol=ftol)
+            b = jnp.asarray(b, jnp.float64)
+        elif precision == "mixed":
+            b32, _, it32, _ = lm_solve_device_batch(
+                spec, arrays_b, b0, max_iterations=max_iterations,
+                update_threshold=update_threshold, dtype=jnp.float32,
+                quiet=True, ftol=ftol)
+            b, E, it, ne = lm_solve_device_batch(
+                spec, arrays_b, jnp.asarray(b32, jnp.float64),
+                max_iterations=300, update_threshold=update_threshold)
+            it = it + it32
+        else:
+            b, E, it, ne = lm_solve_device_batch(
+                spec, arrays_b, b0, max_iterations=max_iterations,
+                update_threshold=update_threshold)
+
+        # write the solutions back into each problem's arrays
+        for i, (kw, arrays) in enumerate(zip(kws, arrays_list)):
+            params = split_packed_state(b[i], arrays, spec)
+            for name, key in (("intrinsics", "intrinsics"),
+                              ("extrinsics_rt_fromref", "extrinsics"),
+                              ("frames_rt_toref", "frames"),
+                              ("points", "points")):
+                a = kw.get(name)
+                if a is not None and np.asarray(a).size:
+                    np.copyto(np.asarray(a), np.asarray(params[key]))
+            if kw.get("calobject_warp") is not None \
+                    and spec.has_calobject_warp:
+                np.copyto(np.asarray(kw["calobject_warp"]),
+                          np.asarray(params["calobject_warp"]))
+
+        if not (spec.selections.do_apply_outlier_rejection
+                and spec.Nobservations_board):
+            break
+        found_any = False
+        for i in range(B):
+            if np_obs[i] is None:
+                continue
+            found, _, _ = _mark_outliers(
+                spec, np_obs[i],
+                np.asarray(ne["x_board"][i]).reshape(-1))
+            if found:
+                found_any = True
+                arrays_list[i]["observations_board"] = jnp.asarray(
+                    np_obs[i],
+                    dtype=arrays_list[i]["observations_board"].dtype)
+        if not found_any:
+            break
+        # refresh geometry arrays from the written-back kws so the
+        # re-solve starts from the current solutions
+        arrays_list = [arrays_from_inputs(**kw) for kw in kws]
+
+    stats = []
+    for i in range(B):
+        Nout = (int(np.sum(np_obs[i][..., 2] <= 0))
+                if np_obs[i] is not None else 0)
+        stats.append(dict(
+            rms_reproj_error__pixels=float(
+                np.sqrt(float(E[i]) / max(spec.Nmeasurements, 1))),
+            niterations=int(it[i]),
+            Noutliers=Nout, Noutliers_board=Nout,
+            b_packed=np.asarray(b[i])))
+    return stats
+
+
 def _use_chunked_dispatch():
     """Segmented device dispatches by default on accelerators (the axon
     worker kills single long-running executions); single-shot on CPU.
