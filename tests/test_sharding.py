@@ -230,6 +230,29 @@ def test_sharded_splined_solve(monkeypatch):
                            atol=1e-9), k
 
 
+def test_sharded_splined_lazy_hessian(monkeypatch):
+    """The lazy-Hessian while_loop body (stale H between refreshes, the
+    real-TPU default for splined f32) over the SHARDED ne_fn: the
+    lax.cond gradient branch wraps a shard_map'd psum — verify the
+    combination compiles and matches the single-chip lazy solver
+    exactly (it is only reachable on accelerator meshes in production,
+    so force it here via MRCAL_TPU_LAZY_H)."""
+    monkeypatch.setenv("MRCAL_TPU_SPLINED_SPARSE", "1")
+    monkeypatch.setenv("MRCAL_TPU_LAZY_H", "4")
+    oi, spec, arrays, b0 = _make_splined_problem(Nx=12, Ny=9, Nframes=10,
+                                                 seed=13)
+    from mrcal_tpu.optimize.solver import lm_solve_device
+    from mrcal_tpu.parallel import sharded_lm_solve_device
+    b_u, E_u, it_u, ne_u = lm_solve_device(spec, arrays, b0,
+                                           max_iterations=10)
+    mesh = make_mesh(8)
+    b_s, E_s, it_s, ne_s = sharded_lm_solve_device(
+        spec, arrays, b0, mesh, max_iterations=10)
+    assert it_u == it_s
+    assert np.isclose(E_u, E_s, rtol=1e-10)
+    assert np.allclose(np.asarray(b_u), np.asarray(b_s), atol=1e-8)
+
+
 def test_optimize_mesh_splined(monkeypatch):
     """optimize(mesh=8) end-to-end on a splined problem (reduced knot grid
     for runtime) matches the unsharded optimize, outlier loop included."""
