@@ -126,6 +126,27 @@ def test_observation_noise_cell(stabilize, fixed):
     _check_var3(Var_obs, np.cov((ps - p0[None]).T), N_OBS)
 
 
+def _stabilize_point(p_cam, models_s, oi_s, models0, oi0):
+    """Map a replica's cam0-coords triangulation into the BASELINE cam0
+    frame through the (fixed-in-space) calibration objects: perturbed
+    cam -> perturbed ref -> each perturbed frame -> baseline frames ->
+    mean -> baseline cam.  This is the quantity whose variance
+    triangulate(stabilize_coords=True) PREDICTS — the returned point
+    itself is always plain camera-0 coords (same convention as the
+    reference, triangulation.py:1263-1330)."""
+    rt_s = np.asarray(models_s[0].extrinsics_rt_fromref())
+    rt_0 = np.asarray(models0[0].extrinsics_rt_fromref())
+    frames_s = np.asarray(oi_s["frames_rt_toref"])
+    frames_0 = np.asarray(oi0["frames_rt_toref"])
+    p_ref_s = np.asarray(pu.transform_point_rt(rt_s, p_cam,
+                                               inverted=True))
+    p_frames = np.asarray(pu.transform_point_rt(frames_s, p_ref_s,
+                                                inverted=True))
+    p_ref_0 = np.asarray(pu.transform_point_rt(frames_0,
+                                               p_frames)).mean(axis=0)
+    return np.asarray(pu.transform_point_rt(rt_0, p_ref_0))
+
+
 @pytest.mark.parametrize("stabilize", [True, False])
 @pytest.mark.parametrize("fixed", ["cam0", "frames"])
 def test_calibration_noise_cell(stabilize, fixed):
@@ -137,11 +158,19 @@ def test_calibration_noise_cell(stabilize, fixed):
                              q_calibration_stdev=SIGMA)
     p0, Var_cal = (np.asarray(pred[0]), np.asarray(pred[1]))
 
+    # with frames FIXED in the solve there is nothing to stabilize
+    # against (the prediction falls back to the raw cam0 point, like
+    # the reference); the empirical must then use the raw point too
+    do_stab = stabilize and bool(
+        oi.get("do_optimize_frames", True))
+
     ps = []
     for oi_s in _noisy_replicas(oi, N_CAL, seed=31):
         models_s = _models_from(oi_s)
-        ps.append(np.asarray(mrcal.triangulate(
-            q0, models_s, stabilize_coords=stabilize)))
+        p_s = np.asarray(mrcal.triangulate(q0, models_s))
+        if do_stab:
+            p_s = _stabilize_point(p_s, models_s, oi_s, models, oi)
+        ps.append(p_s)
     ps = np.array(ps)
     _check_var3(Var_cal, np.cov((ps - p0[None]).T), N_CAL)
 
