@@ -196,6 +196,14 @@ def _run_config(cfg):
          f"Nstate={spec.Nstate} compiling/warmup ...")
     t0 = time.perf_counter()
     mrcal.optimize(**oi_warm, update_threshold=1e-7, max_iterations=2000)
+    # ... and the f32-only sustained path: its readback/cast graphs
+    # differ from the mixed-precision ones (f32 vs f64 dtypes), and a
+    # first-call compile through the remote helper (~2.5 s) must not
+    # land inside the measured run
+    mrcal.optimize(**_perturbed_oi(cfg["oi"], seed=99,
+                                   perturb_intrinsics=True),
+                   precision="f32", update_threshold=0.0, ftol=0.0,
+                   max_iterations=64)
     _log(f"[{cfg['name']}] warmup {time.perf_counter() - t0:.1f}s; "
          "measuring ...")
 

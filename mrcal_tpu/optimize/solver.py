@@ -123,6 +123,57 @@ def _make_board_fn(spec: ProblemSpec):
     return fn
 
 
+def _make_board_corner_fn(spec: ProblemSpec):
+    """Single-CORNER board residual: (blocks, corner grid xy, one observed
+    corner) -> (2,).  Same math as _make_board_fn restricted to one grid
+    point (board_points_ref for a single (x,y); mrcal.c:2792-2818 warp).
+
+    Why it exists: the per-observation Jacobian needs jacfwd with
+    Nip+14 (~26) tangents riding every op of the projection chain — on
+    TPU those [Nobs, 26, H, W] intermediates dominate the whole LM
+    iteration (round-5 xprof: 62% of device time, in (1,128)-tiled
+    elementwise fusions at ~11% lane utilization).  Per-corner jacrev
+    needs only TWO cotangents, and the flat corner axis vectorizes on
+    the 128-lane VPU."""
+    s = spec.selections
+    H = spec.calibration_object_height_n
+    W = spec.calibration_object_width_n
+    sp = spec.calibration_object_spacing
+
+    def fn(blocks, cxy, obs_c, intr_fixed, warp_fixed):
+        # blocks: dict(intr (Nip,), ext (6,), frame (6,), warp (2,)) packed
+        # cxy: (2,) grid indices (x, y) as floats; obs_c: (3,) x,y,weight
+        dt = intr_fixed.dtype
+        intr = _merge_intrinsics(blocks["intr"], intr_fixed, spec)
+        rt_cam = blocks["ext"] * jnp.asarray(_EXT_SCALES, dt)
+        rt_frame = blocks["frame"] * jnp.asarray(_FRAME_SCALES, dt)
+        if spec.has_calobject_warp:
+            warp = blocks["warp"] * jnp.asarray(_WARP_SCALES, dt)
+        else:
+            warp = warp_fixed
+        rt_joint = _compose_rt2(rt_cam, rt_frame)
+        xr = cxy[0] / (W - 1)
+        yr = cxy[1] / (H - 1)
+        z = (warp[0] * 4.0 * xr * (1.0 - xr) +
+             warp[1] * 4.0 * yr * (1.0 - yr))
+        pt = jnp.stack([cxy[0] * sp, cxy[1] * sp, z])
+        p_cam = _transform_point_rt(rt_joint, pt)
+        q = project_core(p_cam, intr, spec.lensmodel)
+        w = jnp.maximum(obs_c[2], 0.0)
+        return (q - obs_c[:2]) * w                             # (2,)
+
+    return fn
+
+
+def _use_corner_jacobian(spec: ProblemSpec):
+    """Per-corner vjp board Jacobian (2 cotangents) instead of
+    per-observation jacfwd (Nip+14 tangents).  Identical values; the
+    corner-flat layout is ~3x faster on TPU (round-5 measurements) and
+    no slower on CPU.  MRCAL_TPU_BOARD_CORNER_J=0 restores the old
+    path."""
+    return _os.environ.get("MRCAL_TPU_BOARD_CORNER_J", "1") != "0"
+
+
 def _make_point_fn(spec: ProblemSpec):
     def fn(blocks, obs, intr_fixed):
         # blocks: dict(intr (Nip,), ext (6,), point (3,)) packed
@@ -185,6 +236,14 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
     use_fwd = (spec.Nintrinsics_state_per_cam + 14) < \
         2 * spec.calibration_object_width_n * spec.calibration_object_height_n
     jacf = jax.jacrev if not use_fwd else jax.jacfwd
+    corner_jac = _use_corner_jacobian(spec) and spec.Nobservations_board
+    if corner_jac:
+        corner_fn = _make_board_corner_fn(spec)
+        Hn = spec.calibration_object_height_n
+        Wn = spec.calibration_object_width_n
+        _xg, _yg = np.meshgrid(np.arange(Wn, dtype=np.float64),
+                               np.arange(Hn, dtype=np.float64))
+        cxy_np = np.stack([_xg, _yg], axis=-1).reshape(-1, 2)  # (HW,2)
 
     def f(b, arrays):
         dt = b.dtype
@@ -239,10 +298,36 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
             obs = arrays["observations_board"]
             ifx = intr_full[ici]
 
-            r = jax.vmap(board_fn, in_axes=(0, 0, 0, None))(
-                blocks, obs, ifx, params["calobject_warp"])    # (Nobs, M)
-            J = jax.vmap(jacf(board_fn), in_axes=(0, 0, 0, None))(
-                blocks, obs, ifx, params["calobject_warp"])
+            if corner_jac:
+                # residual + Jacobian in ONE vjp per corner: 2 cotangents
+                # instead of jacfwd's Nip+14 tangents, and the flat corner
+                # axis (instead of the (H,W) grid) tiles the 128-lane VPU
+                cxy_all = jnp.asarray(cxy_np, dt)              # (HW,2)
+
+                def obs_rj(blk, ob, ifx1, wf):
+                    obs_flat = ob.reshape(-1, 3)               # (HW,3)
+
+                    def per_corner(cxy, oc):
+                        rr, pull = jax.vjp(
+                            lambda bl: corner_fn(bl, cxy, oc, ifx1, wf),
+                            blk)
+                        (Jd,) = jax.vmap(pull)(jnp.eye(2, dtype=rr.dtype))
+                        return rr, Jd                          # (2,), dict
+
+                    return jax.vmap(per_corner)(cxy_all, obs_flat)
+
+                r2, J2 = jax.vmap(obs_rj, in_axes=(0, 0, 0, None))(
+                    blocks, obs, ifx, params["calobject_warp"])
+                Nob = len(idxb_np)
+                M = r2.shape[1] * 2                            # 2*H*W
+                r = r2.reshape(Nob, M)
+                J = {k: v.reshape(Nob, M, v.shape[-1])
+                     for k, v in J2.items()}
+            else:
+                r = jax.vmap(board_fn, in_axes=(0, 0, 0, None))(
+                    blocks, obs, ifx, params["calobject_warp"])  # (Nobs, M)
+                J = jax.vmap(jacf(board_fn), in_axes=(0, 0, 0, None))(
+                    blocks, obs, ifx, params["calobject_warp"])
             Ji = _zero_if(spec.Nintrinsics_state_per_cam > 0, J["intr"])
             Je = _zero_if(s.do_optimize_extrinsics, J["ext"])
             Jf = _zero_if(s.do_optimize_frames, J["frame"])
@@ -368,22 +453,65 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
         # ---------------- triangulated-point pairs ----------------
         x_tri = jnp.zeros((0,), dt)
         if spec.num_measurements_points_triangulated:
-            from .residuals import residuals_triangulated
+            # per-PAIR vjp (one scalar cotangent) instead of jacfwd over
+            # the whole extrinsics vector (6*Nce tangents): each pair
+            # touches only its two cameras' rt blocks.  The 42-tangent
+            # jacfwd chain (gathers + [Npairs, Nstate, 6] tangent
+            # intermediates) was ~40% of the sfm bench iteration.
+            from ..poseutils import _rotate_point_r
+            from ..triangulation import _triangulated_error
+            from .layout import triangulated_pair_indices
 
-            def xtri_of_ext(ext_p):
-                prm = dict(params)
-                prm["extrinsics"] = ext_p * jnp.asarray(_EXT_SCALES, dt)
-                return residuals_triangulated(prm, arrays, spec)
+            i0_np, i1_np = triangulated_pair_indices(
+                spec.triangulated_set_sizes)          # static structure
+            i0 = jnp.asarray(np.asarray(i0_np))
+            i1 = jnp.asarray(np.asarray(i1_np))
+            px = arrays["px_triangulated"].astype(dt)
+            wtri = arrays["observations_point_triangulated"][:, 2] \
+                .astype(dt)
+            ice_tri = arrays["indices_triangulated"][:, 2]
+            ie0 = ice_tri[i0] + 1                     # ext_pad row ids
+            ie1 = ice_tri[i1] + 1
 
-            x_tri = xtri_of_ext(ext_packed)
+            def pair_fn(rt0p, rt1p, v0p, v1p):
+                # packed rt blocks -> scalar ray-divergence (same math as
+                # residuals_triangulated, mrcal.c:5196-5654)
+                rt0 = rt0p * jnp.asarray(_EXT_SCALES, dt)
+                rt1 = rt1p * jnp.asarray(_EXT_SCALES, dt)
+                v0_ref = _rotate_point_r(rt0[:3], v0p, inverted=True)
+                t_r0 = -_rotate_point_r(rt0[:3], rt0[3:], inverted=True)
+                v0_cam1 = _rotate_point_r(rt1[:3], v0_ref)
+                t_10 = _rotate_point_r(rt1[:3], t_r0) + rt1[3:]
+                return _triangulated_error(v1p, v0_cam1, t_10)
+
+            def pair_rj(rt0p, rt1p, v0p, v1p):
+                err, pull = jax.vjp(pair_fn, rt0p, rt1p, v0p, v1p)
+                J0, J1, _, _ = pull(jnp.ones((), err.dtype))
+                return err, J0, J1
+
+            rt0_all = ext_pad[ie0]
+            rt1_all = ext_pad[ie1]
+            err, J0, J1 = jax.vmap(pair_rj)(rt0_all, rt1_all,
+                                            px[i0], px[i1])
+            valid = (wtri[i0] > 0) & (wtri[i1] > 0)
+            # where, not multiply: an outlier pair's err/J may be NaN
+            x_tri = jnp.where(valid, err, 0.0)
+            J0 = jnp.where(valid[:, None], J0, 0.0)
+            J1 = jnp.where(valid[:, None], J1, 0.0)
             E = E + jnp.sum(x_tri * x_tri)
             if s.do_optimize_extrinsics and spec.Ncameras_extrinsics:
-                # triangulated measurements touch ONLY extrinsics; their
-                # Jacobian block is small (Npairs x 6 Nce) -> dense
-                Jt = jax.jacfwd(xtri_of_ext)(ext_packed)
-                Jt2 = Jt.reshape(x_tri.shape[0], -1)
-                Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(Jt2.T @ Jt2)
-                g_c = g_c.at[cl.e0:cl.w0].add(Jt2.T @ x_tri)
+                Nce1 = spec.Ncameras_extrinsics + 1
+                # dense per-pair J rows via ONE-HOT outer products (MXU
+                # matmuls; segment_sum scatter-adds measured 5x slower on
+                # the v5e for this shape — same lesson as the splined
+                # one-hot assembly)
+                O0 = jax.nn.one_hot(ie0, Nce1, dtype=dt)   # (Np,Nce1)
+                O1 = jax.nn.one_hot(ie1, Nce1, dtype=dt)
+                Jrow = (O0[:, :, None] * J0[:, None, :]
+                        + O1[:, :, None] * J1[:, None, :]).reshape(
+                    x_tri.shape[0], 6 * Nce1)[:, 6:]       # drop ref cam
+                Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(Jrow.T @ Jrow)
+                g_c = g_c.at[cl.e0:cl.w0].add(Jrow.T @ x_tri)
 
         # ---------------- regularization ----------------
         x_reg = jnp.zeros((0,), dt)
@@ -948,6 +1076,67 @@ def _check_gradient_report(spec, arrays, b, ncols_max=250, step=1e-5,
                 worst_ivar=worst_col)
 
 
+def _fetch_solution_np(spec: ProblemSpec, b, ne, E):
+    """ONE fused device->host readback of everything optimize() needs on
+    the host: packed state, residual vectors, E.  Each separate
+    np.asarray(<device array>) costs a full round-trip over the device
+    tunnel (~25 ms); a warm production solve used to spend ~0.35 s in
+    10-12 of them — more than the entire device LM loop."""
+    # transfer in the SOLVE dtype (an f32 phase's residuals carry no f64
+    # information; halving the payload matters on a ~5 GB/s-effective
+    # tunnel), convert on host
+    dt = jnp.asarray(b).dtype
+    pieces = [jnp.asarray(b, dt).ravel(),
+              jnp.asarray(ne["x_board"], dt).ravel(),
+              jnp.asarray(ne["x_point"], dt).ravel(),
+              jnp.asarray(ne["x_tri"], dt).ravel(),
+              jnp.asarray(ne["x_reg"], dt).ravel(),
+              jnp.asarray(E, dt).reshape(1)]
+    sizes = [int(p.shape[0]) for p in pieces]
+    flat = np.asarray(jnp.concatenate(pieces), np.float64)
+    out = {}
+    off = 0
+    for name, n in zip(("b", "x_board", "x_point", "x_tri", "x_reg", "E"),
+                       sizes):
+        out[name] = flat[off:off + n]
+        off += n
+    out["E"] = float(out["E"][0])
+    return out
+
+
+def _unpack_state_np(b_np, spec: ProblemSpec):
+    """Host-side (numpy) unpack of the packed state into the OPTIMIZED
+    parameter blocks (same slicing as split_packed_state, without the
+    non-optimized fill-ins — the caller's arrays already hold those)."""
+    s = spec.selections
+    bu = np.asarray(b_np, np.float64) * np.asarray(spec.scales(),
+                                                   np.float64)
+    out = {}
+    i = 0
+    n = spec.num_states_intrinsics
+    if n:
+        out["intrinsics_state"] = bu[i:i + n].reshape(
+            spec.Ncameras_intrinsics, spec.Nintrinsics_state_per_cam)
+        i += n
+    n = spec.num_states_extrinsics
+    if n:
+        out["extrinsics"] = bu[i:i + n].reshape(-1, 6)
+        i += n
+    n = spec.num_states_frames
+    if n:
+        out["frames"] = bu[i:i + n].reshape(-1, 6)
+        i += n
+    n = spec.num_states_points
+    if n:
+        out["points"] = bu[i:i + n].reshape(-1, 3)
+        i += n
+    if spec.num_states_calobject_warp:
+        out["calobject_warp"] = bu[i:i + 2]
+        i += 2
+    assert i == spec.Nstate
+    return out
+
+
 def optimize(**kw):
     """Full solve: mrcal.optimize equivalent (mrcal.c:6180 mrcal_optimize).
 
@@ -984,6 +1173,16 @@ def optimize(**kw):
         arrays = arrays_from_inputs(**kw)
         params = params_from_arrays(arrays)
         b = pack_params(params, spec)
+
+    # host copies of the (static) index arrays, so the device solver never
+    # has to read them back over the tunnel
+    def _idx_np(name):
+        a = kw.get(name)
+        return (np.zeros((0, 3), np.int32) if a is None
+                else np.asarray(a, np.int32).reshape(-1, 3))
+    static_idx_np = dict(
+        board=_idx_np("indices_frame_camintrinsics_camextrinsics"),
+        point=_idx_np("indices_point_camintrinsics_camextrinsics"))
 
     if kw.get("check_gradient"):
         # reference semantics (mrcal.c:6601-6605): verify the Jacobian
@@ -1039,7 +1238,9 @@ def optimize(**kw):
                 return sharded_lm_solve_device(spec, arrays, b, mesh,
                                                **solve_kw)
             if device_loop:
-                return lm_solve_device(spec, arrays, b, **solve_kw)
+                return lm_solve_device(spec, arrays, b, defer_host=True,
+                                       static_idx=static_idx_np,
+                                       **solve_kw)
             return lm_solve(spec, arrays, b, verbose=verbose, **solve_kw)
 
     total_niter = 0
@@ -1050,7 +1251,8 @@ def optimize(**kw):
         if precision == "f32":
             with _timer.phase("solve_f32"):
                 b32, E, niter, ne = solve(b, dtype=jnp.float32, quiet=True)
-            b = jnp.asarray(b32, jnp.float64)
+            b = b32     # stays f32: re-solves cast anyway, and the fused
+            #             readback below ships half the bytes
         elif precision == "mixed":
             # fast f32 phase to (approximate) convergence, f64 polish after.
             # The polish is also device-resident when device_loop is on: a
@@ -1074,16 +1276,21 @@ def optimize(**kw):
             with _timer.phase("solve_f64"):
                 b, E, niter, ne = solve(b)
         total_niter += niter
+        # ONE fused device->host readback per solve pass (b, residual
+        # vectors, E): the outlier check and the final writeback/stats all
+        # work from this host copy — no further device syncs
+        with _timer.phase("fetch"):
+            sol = _fetch_solution_np(spec, b, ne, E)
+        blocks_np = _unpack_state_np(sol["b"], spec)
         if not (spec.selections.do_apply_outlier_rejection
                 and (spec.Nobservations_board or np_obs_tri is not None)):
             break
-        ext_now = np.asarray(
-            split_packed_state(b, arrays, spec)["extrinsics"]) \
+        ext_now = blocks_np.get("extrinsics") \
             if np_obs_tri is not None else None
         with _timer.phase("outlier_rejection"):
             found, Noutliers, Noutliers_tri = _mark_outliers(
-                spec, np_obs_board, ne["x_board"],
-                obs_tri_np=np_obs_tri, x_tri=ne["x_tri"],
+                spec, np_obs_board, sol["x_board"],
+                obs_tri_np=np_obs_tri, x_tri=sol["x_tri"],
                 px_tri=arrays.get("px_triangulated"),
                 idx_tri=(np.asarray(arrays["indices_triangulated"])
                          if np_obs_tri is not None else None),
@@ -1098,36 +1305,43 @@ def optimize(**kw):
                 np_obs_tri,
                 dtype=arrays["observations_point_triangulated"].dtype)
 
-    # write back the solution
-    params = split_packed_state(b, arrays, spec)
-
-    def writeback(name, key):
+    # write back the solution (host copies from the fused readback; only
+    # the OPTIMIZED slices — the rest of the caller's arrays never moved)
+    if "intrinsics_state" in blocks_np and kw.get("intrinsics") is not None:
+        intr_np = np.asarray(kw["intrinsics"])
+        blk = blocks_np["intrinsics_state"]
+        j = 0
+        if spec.Ncore_state:
+            intr_np[:, :4] = blk[:, :4]
+            j = 4
+        if spec.selections.do_optimize_intrinsics_distortions:
+            intr_np[:, spec.Ncore:] = blk[:, j:]
+    for name, key in (("extrinsics_rt_fromref", "extrinsics"),
+                      ("frames_rt_toref", "frames")):
         a = kw.get(name)
-        if a is not None and np.asarray(a).size:
-            np.copyto(np.asarray(a), np.asarray(params[key]))
-
-    writeback("intrinsics", "intrinsics")
-    writeback("extrinsics_rt_fromref", "extrinsics")
-    writeback("frames_rt_toref", "frames")
-    writeback("points", "points")
-    if kw.get("calobject_warp") is not None and spec.has_calobject_warp:
+        if key in blocks_np and a is not None and np.asarray(a).size:
+            np.copyto(np.asarray(a), blocks_np[key])
+    if "points" in blocks_np and kw.get("points") is not None \
+            and np.asarray(kw["points"]).size:
+        np.asarray(kw["points"])[:spec.Npoints_variable] = \
+            blocks_np["points"]
+    if "calobject_warp" in blocks_np \
+            and kw.get("calobject_warp") is not None:
         np.copyto(np.asarray(kw["calobject_warp"]),
-                  np.asarray(params["calobject_warp"]))
+                  blocks_np["calobject_warp"])
 
-    x = np.concatenate([np.asarray(ne["x_board"]).ravel(),
-                        np.asarray(ne["x_point"]).ravel(),
-                        np.asarray(ne["x_tri"]).ravel(),
-                        np.asarray(ne["x_reg"]).ravel()])
+    x = np.concatenate([sol["x_board"], sol["x_point"],
+                        sol["x_tri"], sol["x_reg"]])
     stats = dict(
         rms_reproj_error__pixels=float(
-            np.sqrt(E / max(spec.Nmeasurements, 1))),
+            np.sqrt(sol["E"] / max(spec.Nmeasurements, 1))),
         Noutliers=Noutliers,
         Noutliers_board=Noutliers,
         Noutliers_triangulated_point=Noutliers_tri,
         niterations=total_niter,
         niterations_polish=niter_polish,
         time_s={k: round(v, 6) for k, v in _timer.t.items()},
-        b_packed=np.asarray(b),
+        b_packed=sol["b"],
         x=x,
     )
     return stats
@@ -1356,7 +1570,11 @@ def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
         t0 = _time.perf_counter()
         state = solve.run(state, arrays,
                           jnp.asarray(stop_at, jnp.int32), thr, ftol_d)
-        it_new = int(state[4])
+        # ONE device->host readback per segment: (niter, done) together.
+        # Separate int(state[4]) + bool(state[7]) reads each cost a full
+        # ~25 ms round-trip over the device tunnel.
+        it_new, done_flag = (int(v) for v in np.asarray(
+            jnp.stack([state[4], state[7].astype(jnp.int32)])))
         dt_seg = _time.perf_counter() - t0
         ran = max(it_new - it_done, 1)
         it_done = it_new
@@ -1368,7 +1586,7 @@ def _run_device_lm_chunked(solve, b0, arrays, max_iterations,
             if not hasattr(solve, "_it_rate"):
                 solve._it_rate = {}
             solve._it_rate[str(dt)] = rate
-        if bool(state[7]) or it_done >= int(max_iterations):
+        if done_flag or it_done >= int(max_iterations):
             break
         # adapt: keep a single dispatch near target_s (first segment's
         # rate includes compile time -> conservative, self-corrects)
@@ -1399,6 +1617,7 @@ def _trace_env_key(spec: ProblemSpec):
     must participate in the solver cache keys or changing them mid-
     process would be silently ignored."""
     return (_use_splined_sparse(spec),
+            _use_corner_jacobian(spec),
             _os.environ.get("MRCAL_TPU_F32_LAM_FLOOR", "4e-7"),
             _os.environ.get("MRCAL_TPU_SCHUR_F64"),
             _os.environ.get("MRCAL_TPU_SPLINED_F64_H32", "1"),
@@ -1425,7 +1644,8 @@ def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
 
 def lm_solve_device(spec: ProblemSpec, arrays, b0,
                     max_iterations=300, update_threshold=1e-7,
-                    dtype=None, quiet=False, lam0=1e-4, ftol=None):
+                    dtype=None, quiet=False, lam0=1e-4, ftol=None,
+                    defer_host=False, static_idx=None):
     """The whole trust-region LM loop as ONE jitted computation
     (jax.lax.while_loop): normal equations, Schur step, trial evaluation and
     the gain-ratio lambda control all run on device.  This removes the
@@ -1436,8 +1656,11 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
     Returns (b, E, niter, ne) — ne is the normal-equation dict at the
     solution (residual vectors x_board/x_point/x_tri/x_reg included), same
     as lm_solve()."""
-    static_idx = dict(board=np.asarray(arrays["indices_board"]),
-                      point=np.asarray(arrays["indices_point"]))
+    if static_idx is None:
+        # np.asarray on a DEVICE index array is a ~25 ms tunnel
+        # round-trip each; optimize() passes host copies in instead
+        static_idx = dict(board=np.asarray(arrays["indices_board"]),
+                          point=np.asarray(arrays["indices_point"]))
     if dtype is not None:
         arrays = _cast_arrays(arrays, dtype)
         b0 = jnp.asarray(b0, dtype)
@@ -1463,7 +1686,9 @@ def lm_solve_device(spec: ProblemSpec, arrays, b0,
                               jnp.asarray(eff_threshold, b0.dtype),
                               jnp.asarray(lam0, b0.dtype),
                               jnp.asarray(ftol, b0.dtype))
-    return b, float(ne["E"]), int(it), ne
+    # defer_host: keep E on device (optimize() folds it into its single
+    # fused readback; a lone float(E) costs a ~25 ms tunnel round-trip)
+    return b, (ne["E"] if defer_host else float(ne["E"])), int(it), ne
 
 
 # ----------------------------------------------------------------------------
@@ -1859,13 +2084,23 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
     pose = dict(ext=ext_pad[ice_c + 1],
                 frame=frames_packed[ifr_c],
                 warp=jnp.broadcast_to(warp_packed, (N, 2)))
-    core4 = intr_full[ici_c, :4]
+    # single-camera fast path: the ici gathers of core4/coeffs are pure
+    # broadcast, but a TRACED all-zeros index still lowers to real
+    # gathers (4x f32[N] gathers measured 0.44 ms/iter at 30x18)
+    one_cam = spec.Ncameras_intrinsics == 1
+    if one_cam:
+        core4 = jnp.broadcast_to(intr_full[0, :4], (N, 4))
+    else:
+        core4 = intr_full[ici_c, :4]
 
-    # ---- window gather (forward pass to find windows) ----
+    # ---- window origin (vectorized forward) + CONTIGUOUS row gather ----
+    # Each window row is R consecutive x-knots: gather R slices of
+    # (R,2) contiguous floats per corner instead of R*R*2 independent
+    # elements (the per-element gather was 27% of the whole iteration).
     coeffs = intr_full[:, 4:].reshape(
         spec.Ncameras_intrinsics, lm.Ny, lm.Nx, 2)
 
-    def window_of(pose1, core1, cxy1, ici1):
+    def uvec_of(pose1, cxy1):
         rt_joint = _compose_rt2(
             pose1["ext"] * jnp.asarray(_EXT_SCALES, dt),
             pose1["frame"] * jnp.asarray(_FRAME_SCALES, dt))
@@ -1881,33 +2116,60 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
                             cxy1[1] * spec.calibration_object_spacing,
                             z])
         p = _transform_point_rt(rt_joint, pt_ref)
-        u = stereographic_uv(p)
-        ix0, iy0, _, _ = splined_window_index(u, lm)
-        offs = jnp.arange(R, dtype=jnp.int32)
-        iyw = iy0 - 1 + offs
-        ixw = ix0 - 1 + offs
-        win = coeffs[ici1, iyw[:, None], ixw[None, :], :]  # (R,R,2)
-        return win, jnp.stack([ix0, iy0])
+        return stereographic_uv(p)
 
-    win, ixy0 = jax.vmap(window_of)(pose, core4, corner_xy, ici_c)
-    ixy0 = jax.lax.stop_gradient(ixy0)
+    u_all = jax.vmap(uvec_of)(pose, corner_xy)             # (N,2)
+    ix0, iy0, tx_all, ty_all = splined_window_index(u_all, lm)
+    ixy0 = jax.lax.stop_gradient(jnp.stack([ix0, iy0], axis=-1))
+    offs = jnp.arange(R, dtype=jnp.int32)
+    row0 = (iy0[:, None] - 1 + offs[None, :]) * lm.Nx + (ix0 - 1)[:, None]
+    if one_cam:
+        cflat = coeffs[0].reshape(lm.Ny * lm.Nx, 2)
+    else:
+        cflat = coeffs.reshape(-1, 2)
+        row0 = row0 + (ici_c * (lm.Ny * lm.Nx))[:, None]
+    row0 = jax.lax.stop_gradient(row0)                     # (N,R)
+    # flat per-element gather.  A vmapped dynamic_slice of (R,2)
+    # contiguous rows LOOKED cheaper (4x fewer index rows) but XLA:TPU
+    # lowers that gather-of-slices to a sequential on-device loop —
+    # 65856 dynamic-slice steps per NE eval, 54 ms/iter (round-5
+    # measurement).  The per-element gather stays a native fusion.
+    win = cflat[row0[:, :, None] + jnp.arange(R)[None, None, :]]
+    # (N,R,R,2): [jy, ix] = knot (iy0-1+jy, ix0-1+ix)
 
-    r = jax.vmap(corner_fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
-        pose, win, ixy0, corner_xy, obs_c, core4,
-        params["calobject_warp"])                    # (N, 2)
+    def corner_rj(pose1, win1, ixy01, cxy1, obs1, core41):
+        # residual + pose Jacobian in ONE vjp (2 cotangents)
+        rr, pull = jax.vjp(
+            lambda po: corner_fn(po, win1, ixy01, cxy1, obs1, core41,
+                                 params["calobject_warp"]), pose1)
+        (Jp1,) = jax.vmap(pull)(jnp.eye(2, dtype=rr.dtype))
+        return rr, Jp1
+
+    r, Jp = jax.vmap(corner_rj)(pose, win, ixy0, corner_xy, obs_c, core4)
     if mask_board is not None:
         # shard-padding rows: their observations are all-zero so w=0
         # already zeroes r AND every Jacobian row; the explicit mask
         # keeps the residual-row contract airtight
         r = r * jnp.repeat(mask_board, Ncorners)[:, None]
-    Jp = jax.vmap(jax.jacrev(corner_fn, argnums=0),
-                  in_axes=(0, 0, 0, 0, 0, 0, None))(
-        pose, win, ixy0, corner_xy, obs_c, core4,
-        params["calobject_warp"])                    # dict of (N,2,*)
-    Jw = jax.vmap(jax.jacrev(corner_fn, argnums=1),
-                  in_axes=(0, 0, 0, 0, 0, 0, None))(
-        pose, win, ixy0, corner_xy, obs_c, core4,
-        params["calobject_warp"]).reshape(N, 2, R * R * 2)
+    # ANALYTIC window Jacobian: q depends linearly on the window,
+    #   dr_k/dwin[jy, ix, m] = delta_{km} * w * f_k * wy_jy * wx_ix
+    # — no second AD pass through the projection chain (the jacrev
+    # formulation's (N,2,R,R) cotangent products were ~15% of the
+    # iteration in (4,128)-tiled fusions)
+    wts = (_bspline_weights_cubic if lm.order == 3
+           else _bspline_weights_quadratic)
+    wx_all = wts(tx_all)                                   # (N,R)
+    wy_all = wts(ty_all)
+    wgt_all = jnp.maximum(obs_c[:, 2], 0.0)
+    if mask_board is not None:
+        wgt_all = wgt_all * jnp.repeat(mask_board, Ncorners)
+    wyx = wy_all[:, :, None] * wx_all[:, None, :]          # (N,R,R)
+    f2 = jnp.stack([core4[:, 0], core4[:, 1]], axis=-1) \
+        * wgt_all[:, None]                                 # (N,2)
+    Jw = (wyx[:, None, :, :, None]
+          * f2[:, :, None, None, None]
+          * jnp.eye(2, dtype=dt)[None, :, None, None, :]
+          ).reshape(N, 2, R * R * 2)
 
     Je = _zero_if(s.do_optimize_extrinsics, Jp["ext"]) \
         * (ice_c >= 0)[:, None, None].astype(dt)
