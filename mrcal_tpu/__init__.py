@@ -27,7 +27,8 @@ from .projections import (      # noqa: F401
     project_latlon, unproject_latlon,
 )
 from .optimize import (         # noqa: F401
-    optimize, optimize_batch, optimizer_callback,
+    optimize, optimize_batch, pad_problems_to_common_structure,
+    optimizer_callback,
     drt_cross_reprojection__dbpacked,
     num_states, num_measurements,
     num_states_intrinsics, num_states_extrinsics, num_states_frames,

@@ -32,4 +32,5 @@ from .residuals import (  # noqa: F401
     optimizer_callback,
     drt_cross_reprojection__dbpacked,
 )
-from .solver import optimize, optimize_batch  # noqa: F401
+from .solver import (optimize, optimize_batch,  # noqa: F401
+                     pad_problems_to_common_structure)

@@ -1621,7 +1621,8 @@ def _trace_env_key(spec: ProblemSpec):
             _os.environ.get("MRCAL_TPU_F32_LAM_FLOOR", "4e-7"),
             _os.environ.get("MRCAL_TPU_SCHUR_F64"),
             _os.environ.get("MRCAL_TPU_SPLINED_F64_H32", "1"),
-            _os.environ.get("MRCAL_TPU_SPLINED_CHUNK", "4096"))
+            _os.environ.get("MRCAL_TPU_SPLINED_CHUNK", "4096"),
+            _os.environ.get("MRCAL_TPU_SPLINED_SEP_G", "1"))
 
 
 def _get_device_solver(spec: ProblemSpec, static_idx_key, static_idx, dtype):
@@ -1856,29 +1857,50 @@ def optimize_batch(problems, **common_kw):
               if kw.get("observations_board") is not None else None
               for kw in kws]
 
+    def _np_or_none(kw, key):
+        a = kw.get(key)
+        if a is None or not np.asarray(a).size:
+            return None
+        return np.asarray(a)
+
+    np_obs_tri = [_np_or_none(kw, "observations_point_triangulated")
+                  for kw in kws]
+    from .. import profiling
+    _timer = profiling._SolveTimer()
+    niter_polish = np.zeros(B, int)
+    total_niter = np.zeros(B, int)
+    Nout_tri = np.zeros(B, int)
+
     while True:
         arrays_b = stack(arrays_list)
         b0 = jnp.stack([pack_params(params_from_arrays(a), spec)
                         for a in arrays_list])
         if precision == "f32":
-            b, E, it, ne = lm_solve_device_batch(
-                spec, arrays_b, b0, max_iterations=max_iterations,
-                update_threshold=update_threshold, dtype=jnp.float32,
-                quiet=True, ftol=ftol)
+            with _timer.phase("solve_f32"):
+                b, E, it, ne = lm_solve_device_batch(
+                    spec, arrays_b, b0, max_iterations=max_iterations,
+                    update_threshold=update_threshold, dtype=jnp.float32,
+                    quiet=True, ftol=ftol)
             b = jnp.asarray(b, jnp.float64)
         elif precision == "mixed":
-            b32, _, it32, _ = lm_solve_device_batch(
-                spec, arrays_b, b0, max_iterations=max_iterations,
-                update_threshold=update_threshold, dtype=jnp.float32,
-                quiet=True, ftol=ftol)
-            b, E, it, ne = lm_solve_device_batch(
-                spec, arrays_b, jnp.asarray(b32, jnp.float64),
-                max_iterations=300, update_threshold=update_threshold)
+            with _timer.phase("solve_f32"):
+                b32, _, it32, _ = lm_solve_device_batch(
+                    spec, arrays_b, b0, max_iterations=max_iterations,
+                    update_threshold=update_threshold, dtype=jnp.float32,
+                    quiet=True, ftol=ftol)
+            with _timer.phase("solve_polish_f64"):
+                b, E, it, ne = lm_solve_device_batch(
+                    spec, arrays_b, jnp.asarray(b32, jnp.float64),
+                    max_iterations=300,
+                    update_threshold=update_threshold)
+            niter_polish += np.asarray(it, int)
             it = it + it32
         else:
-            b, E, it, ne = lm_solve_device_batch(
-                spec, arrays_b, b0, max_iterations=max_iterations,
-                update_threshold=update_threshold)
+            with _timer.phase("solve_f64"):
+                b, E, it, ne = lm_solve_device_batch(
+                    spec, arrays_b, b0, max_iterations=max_iterations,
+                    update_threshold=update_threshold)
+        total_niter += np.asarray(it, int)
 
         # write the solutions back into each problem's arrays
         for i, (kw, arrays) in enumerate(zip(kws, arrays_list)):
@@ -1896,37 +1918,170 @@ def optimize_batch(problems, **common_kw):
                           np.asarray(params["calobject_warp"]))
 
         if not (spec.selections.do_apply_outlier_rejection
-                and spec.Nobservations_board):
+                and (spec.Nobservations_board
+                     or any(o is not None for o in np_obs_tri))):
             break
+        # batched host fetch of the residual vectors (one transfer per
+        # leaf for the WHOLE batch, not per problem)
+        xb_all = np.asarray(ne["x_board"])
+        xt_all = (np.asarray(ne["x_tri"])
+                  if any(o is not None for o in np_obs_tri) else None)
+        b_np_all = np.asarray(b)
         found_any = False
-        for i in range(B):
-            if np_obs[i] is None:
-                continue
-            found, _, _ = _mark_outliers(
-                spec, np_obs[i],
-                np.asarray(ne["x_board"][i]).reshape(-1))
-            if found:
-                found_any = True
-                arrays_list[i]["observations_board"] = jnp.asarray(
+        with _timer.phase("outlier_rejection"):
+            for i in range(B):
+                if np_obs[i] is None and np_obs_tri[i] is None:
+                    continue
+                ext_i = (_unpack_state_np(b_np_all[i], spec)
+                         .get("extrinsics")
+                         if np_obs_tri[i] is not None else None)
+                found, _, nt = _mark_outliers(
+                    spec,
                     np_obs[i],
-                    dtype=arrays_list[i]["observations_board"].dtype)
+                    (xb_all[i].reshape(-1) if np_obs[i] is not None
+                     else None),
+                    obs_tri_np=np_obs_tri[i],
+                    x_tri=(xt_all[i].reshape(-1) if xt_all is not None
+                           else None),
+                    px_tri=(arrays_list[i].get("px_triangulated")
+                            if np_obs_tri[i] is not None else None),
+                    idx_tri=(np.asarray(
+                        arrays_list[i]["indices_triangulated"])
+                        if np_obs_tri[i] is not None else None),
+                    extrinsics=ext_i)
+                Nout_tri[i] = nt
+                if found:
+                    found_any = True
+                    if np_obs[i] is not None:
+                        arrays_list[i]["observations_board"] = \
+                            jnp.asarray(np_obs[i], dtype=arrays_list[i]
+                                        ["observations_board"].dtype)
+                    if np_obs_tri[i] is not None:
+                        arrays_list[i][
+                            "observations_point_triangulated"] = \
+                            jnp.asarray(
+                                np_obs_tri[i], dtype=arrays_list[i]
+                                ["observations_point_triangulated"]
+                                .dtype)
         if not found_any:
             break
         # refresh geometry arrays from the written-back kws so the
         # re-solve starts from the current solutions
         arrays_list = [arrays_from_inputs(**kw) for kw in kws]
 
+    # full per-problem stats, same contract as optimize()
+    xb_all = np.asarray(ne["x_board"])
+    xp_all = np.asarray(ne["x_point"])
+    xt_all = np.asarray(ne["x_tri"])
+    xr_all = np.asarray(ne["x_reg"])
+
+    def _row(a, i):
+        return (a[i].reshape(-1) if a.ndim > 1
+                else a.reshape(-1))        # unbatched empty leaves
+
     stats = []
+    time_s = {k: round(v, 6) for k, v in _timer.t.items()}
     for i in range(B):
         Nout = (int(np.sum(np_obs[i][..., 2] <= 0))
                 if np_obs[i] is not None else 0)
+        x = np.concatenate([_row(xb_all, i), _row(xp_all, i),
+                            _row(xt_all, i), _row(xr_all, i)])
         stats.append(dict(
             rms_reproj_error__pixels=float(
                 np.sqrt(float(E[i]) / max(spec.Nmeasurements, 1))),
-            niterations=int(it[i]),
+            niterations=int(total_niter[i]),
+            niterations_polish=int(niter_polish[i]),
             Noutliers=Nout, Noutliers_board=Nout,
+            Noutliers_triangulated_point=int(Nout_tri[i]),
+            time_s=dict(time_s),           # batch-shared wall phases
+            x=x,
             b_packed=np.asarray(b[i])))
     return stats
+
+
+def pad_problems_to_common_structure(problems):
+    """Make a HETEROGENEOUS fleet batchable by optimize_batch.
+
+    optimize_batch requires identical observation-index structure across
+    the batch (the indices bake into the compiled program).  Real fleets
+    share a rig DESIGN (same cameras, frames, lensmodel) but differ in
+    per-unit visibility: some units miss some board views or point
+    observations.  This helper builds the UNION of the board/point index
+    rows across the batch and returns adjusted copies of the problems
+    where every unit carries the same index arrays; rows a unit lacks
+    are padded with weight=-1 observations (the outlier idiom: weight<=0
+    zeroes the residual AND the Jacobian rows, so padding contributes
+    nothing to the solve — same contract as the shard-padding rows in
+    parallel/sharding.py).
+
+    Padding rows count as outliers in the returned stats' Noutliers
+    (weight<=0); subtract the per-unit pad count if the distinction
+    matters.  Triangulated-point sets are not padded (their set/last
+    structure is positional): problems carrying DIFFERING triangulated
+    sets raise.
+
+    Returns a new list of optimization_inputs dicts (inputs unchanged;
+    observation arrays are fresh copies, other arrays shared)."""
+    kws = [_layout.normalize_inputs(dict(p)) for p in problems]
+
+    tri0 = kws[0].get(
+        "indices_point_triangulated_camintrinsics_camextrinsics")
+    for kw in kws[1:]:
+        t = kw.get(
+            "indices_point_triangulated_camintrinsics_camextrinsics")
+        if (t is None) != (tri0 is None) or \
+                (t is not None and not np.array_equal(
+                    np.asarray(t), np.asarray(tri0))):
+            raise ValueError("pad_problems_to_common_structure: "
+                             "triangulated-point sets must already be "
+                             "identical across the batch")
+
+    def union_rows(key):
+        rows = set()
+        for kw in kws:
+            idx = kw.get(key)
+            if idx is not None:
+                rows.update(map(tuple, np.asarray(idx, np.int32)))
+        return np.asarray(sorted(rows), np.int32).reshape(-1, 3) \
+            if rows else None
+
+    ub = union_rows("indices_frame_camintrinsics_camextrinsics")
+    up = union_rows("indices_point_camintrinsics_camextrinsics")
+
+    out = []
+    for kw in kws:
+        kw = dict(kw)
+        if ub is not None:
+            obs = kw.get("observations_board")
+            tail = (np.asarray(obs).shape[1:] if obs is not None
+                    else None)
+            if tail is None:
+                raise ValueError("board indices without observations")
+            new = np.zeros((len(ub),) + tail)
+            new[..., 2] = -1.0                     # padding = outlier
+            pos = {tuple(r): i for i, r in enumerate(
+                np.asarray(kw["indices_frame_camintrinsics_"
+                              "camextrinsics"], np.int32))}
+            for j, r in enumerate(map(tuple, ub)):
+                if r in pos:
+                    new[j] = np.asarray(obs)[pos[r]]
+            kw["observations_board"] = new
+            kw["indices_frame_camintrinsics_camextrinsics"] = ub.copy()
+        if up is not None:
+            obs = kw.get("observations_point")
+            new = np.zeros((len(up), 3))
+            new[:, 2] = -1.0
+            if obs is not None:
+                pos = {tuple(r): i for i, r in enumerate(
+                    np.asarray(kw["indices_point_camintrinsics_"
+                                  "camextrinsics"], np.int32))}
+                for j, r in enumerate(map(tuple, up)):
+                    if r in pos:
+                        new[j] = np.asarray(obs)[pos[r]]
+            kw["observations_point"] = new
+            kw["indices_point_camintrinsics_camextrinsics"] = up.copy()
+        out.append(kw)
+    return out
 
 
 def _use_chunked_dispatch():
@@ -2198,6 +2353,11 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
                and _os.environ.get("MRCAL_TPU_SPLINED_F64_H32", "1")
                != "0")
     hdt = jnp.float32 if use_h32 else dt
+    # separable knot gradient OUT of the chunk loop (round 5): lets the
+    # lazy-H branch DCE the whole rows/H fori_loop.
+    # MRCAL_TPU_SPLINED_SEP_G=0 restores the in-loop rows-based g.
+    sep_g = (not use_h32
+             and _os.environ.get("MRCAL_TPU_SPLINED_SEP_G", "1") != "0")
     g_c = jnp.zeros(Nc, dt)
     Hcc = jnp.zeros((Nc, Nc), hdt)
     g_f = jnp.zeros((max(Nf, 1), 6), dt)
@@ -2247,7 +2407,10 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
     Nip_all = cl.e0                       # total intrinsics state size
 
     def chunk_body(ci, acc):
-        Hcc, g_c, g_f, Hff, Cf = acc
+        if not sep_g:
+            Hcc, g_c, g_f, Hff, Cf = acc
+        else:
+            Hcc, Hff, Cf = acc
         i0_ = ci * CHO
 
         def dslice(a):
@@ -2312,13 +2475,9 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
                     jnp.einsum("oci,ocd->oid", Jf_oh, rows_o))
                 Hff = Hff.at[ifr_o].add(
                     jnp.einsum("oci,ocj->oij", Jf_oh, Jf_oh))
-        # the GRADIENT in full precision.  use_h32 (f64 polish): small
-        # einsums + scatter-adds — no emulated-f64 matmuls.  f32 phase:
-        # THROUGH rows — switching it to the scatter-add path was tried
-        # (to let the lazy-H gradient branch DCE the one-hot too) and
-        # measured 2x SLOWER end-to-end (97.6 vs 200.7 it/s sustained):
-        # per-iteration TPU scatter-adds dominate.  Don't redo.
         if use_h32:
+            # the GRADIENT in full precision (f64 polish): small einsums
+            # + scatter-adds — no emulated-f64 matmuls
             gi = jnp.einsum("nrw,nr->nw", Jw_c, r_c)     # (CH, Nwin)
             g_c = g_c.at[wincols_c].add(gi)
             ge = jnp.einsum("nri,nr->ni", Je_c, r_c)     # (CH, 6)
@@ -2327,22 +2486,75 @@ def _splined_board_ne(spec: ProblemSpec, b, arrays, idx, mask_board=None):
                          + jnp.arange(6)[None, :]].add(ge)
             g_c = g_c.at[cl.w0:cl.w0 + 2].add(
                 jnp.einsum("nri,nr->i", Jwp_c, r_c))
-        else:
-            # THROUGH rows.  Tried and REVERTED (round 4, measured on
-            # the v5e): (a) per-corner scatter-adds — 97.6 it/s vs
-            # 200.7 (TPU scatters serialize); (b) g^T = oh^T(Jw^T r)
-            # one-hot contraction — 152 it/s AND the bf16 gi degraded
-            # the gradient enough to double the polish (48 iters).
-            # Don't redo either.
+        elif not sep_g:
+            # legacy: g THROUGH the dense rows (rebuilds them every
+            # iteration; MRCAL_TPU_SPLINED_SEP_G=0 fallback)
             g_c = g_c + jnp.einsum("nrc,nr->c", rows.astype(dt), r_c)
-        if Nf:
-            g_f = g_f.at[ifr_o].add(
-                jnp.einsum("oci,oc->oi", Jf_c.reshape(CHO, M2, 6),
-                           r_c.reshape(CHO, M2)))
-        return (Hcc, g_c, g_f, Hff, Cf)
+        if not sep_g:
+            if Nf:
+                g_f = g_f.at[ifr_o].add(
+                    jnp.einsum("oci,oc->oi", Jf_c.reshape(CHO, M2, 6),
+                               r_c.reshape(CHO, M2)))
+            return (Hcc, g_c, g_f, Hff, Cf)
+        return (Hcc, Hff, Cf)
 
-    Hcc, g_c, g_f, Hff, Cf = jax.lax.fori_loop(
-        0, NobsPad // CHO, chunk_body, (Hcc, g_c, g_f, Hff, Cf))
+    if not sep_g:
+        Hcc, g_c, g_f, Hff, Cf = jax.lax.fori_loop(
+            0, NobsPad // CHO, chunk_body, (Hcc, g_c, g_f, Hff, Cf))
+    else:
+        # H blocks in the chunk loop; the GRADIENT outside it, via the
+        # tensor-product SEPARABILITY of the B-spline basis:
+        #   g_knot[c, y, x, m] = sum_n OHc[n,c] ry[n,y] rx[n,x] f2r[n,m]
+        # — two small dense factors (N,Ny)/(N,Nx*2) and one matmul,
+        # ~8 MB of traffic vs the 1082-wide rows path's ~150 MB (which
+        # previously rebuilt the one-hot rows EVERY iteration just for
+        # g: 0.96 ms/iter of the 3.3 ms splined body).  With g out of
+        # the loop, XLA dead-code-eliminates the whole rows/H fori_loop
+        # on lazy-Hessian non-refresh iterations.  [Earlier rejected
+        # variants (round 4) were different formulations: per-corner
+        # scatter-adds and a bf16 one-hot contraction over the FULL
+        # 1082-wide column space; the separable factorization has
+        # neither the scatter nor the wide one-hot.]
+        Hcc, Hff, Cf = jax.lax.fori_loop(
+            0, NobsPad // CHO, chunk_body, (Hcc, Hff, Cf))
+        with jax.default_matmul_precision("float32"):
+            f2r = r * f2                                   # (N,2)
+            ax = jnp.arange(lm.Nx, dtype=jnp.int32)
+            ay = jnp.arange(lm.Ny, dtype=jnp.int32)
+            ohx = (ax[None, None, :] ==
+                   (ix0[:, None] - 1 + offs[None, :])[:, :, None]
+                   ).astype(dt)                            # (N,R,Nx)
+            rx = jnp.einsum("nr,nrx->nx", wx_all, ohx)     # (N,Nx)
+            ohy = (ay[None, None, :] ==
+                   (iy0[:, None] - 1 + offs[None, :])[:, :, None]
+                   ).astype(dt)
+            ry = jnp.einsum("nr,nry->ny", wy_all, ohy)     # (N,Ny)
+            if one_cam:
+                rya = ry
+            else:
+                ohc = (ici_c[:, None] ==
+                       jnp.arange(spec.Ncameras_intrinsics)[None, :]
+                       ).astype(dt)
+                rya = jnp.einsum("nc,ny->ncy", ohc, ry).reshape(
+                    N, spec.Ncameras_intrinsics * lm.Ny)
+            t_x = rx[:, :, None] * f2r[:, None, :]         # (N,Nx,2)
+            gk = jnp.einsum("nY,nxm->Yxm", rya,
+                            t_x)                           # (NciNy,Nx,2)
+            g_c = g_c.at[:cl.e0].add(gk.reshape(-1))
+            gen = jnp.einsum("nri,nr->ni", Je, r)          # (N,6)
+            if Nce:
+                ohe = (jnp.maximum(ice_c, 0)[:, None] ==
+                       jnp.arange(Nce)[None, :]).astype(dt)
+                gE = jnp.einsum("ni,ne->ei", gen, ohe)     # (Nce,6)
+                g_c = g_c.at[cl.e0:cl.w0].add(gE.reshape(-1))
+            g_c = g_c.at[cl.w0:cl.w0 + 2].add(
+                jnp.einsum("nri,nr->i", Jwp, r))
+            if Nf:
+                ohf = (ifr_c[:, None] ==
+                       jnp.arange(Nf)[None, :]).astype(dt)
+                gfn = jnp.einsum("nri,nr->ni", Jf, r)      # (N,6)
+                g_f = g_f.at[:Nf].add(
+                    jnp.einsum("ni,nf->fi", gfn, ohf))
 
     return dict(E=E, g_c=g_c, g_f=g_f, Hcc=Hcc, Hff=Hff, Cf=Cf,
                 x_board_rows=r.reshape(Nobs, 2 * Ncorners))
