@@ -42,20 +42,21 @@ import numpy as np
 # ---------------------------------------------------------------------------
 ICI_BW_BYTES_S = 4.5e10          # per link, per direction
 ICI_LAT_S = 1e-6                 # per ring step
-# measured single-chip sustained iteration times (BENCH_r03, v5e, f32)
+# measured single-chip iteration times (round 5, v5e, f32, single
+# run() dispatch of the device while_loop, warm cache)
 MEASURED_MS_PER_ITER = {
-    "opencv8_1cam": 0.84, "opencv8_4cam": 1.79, "splined_30x18": 8.5,
-    "sfm_triangulated": 0.94, "rig16cam": 3.1,
+    "opencv8_1cam": 0.19, "opencv8_4cam": 0.66, "splined_30x18": 2.24,
+    "sfm_triangulated": 0.40, "rig16cam": 1.34,
 }
-# replicated (non-sharded) per-iteration work: the Schur solve.  Measured
-# 0.36 ms for opencv8_1cam (fori_loop probes); for splined_30x18 the
-# round-4 DCE-controlled probes put the Hcc Cholesky + triangular
-# solves at ~2 ms (the rest of the iteration is sharded assembly);
-# scaled by the reduced-system size for the others (Cholesky ~ Nc^3 +
-# Cf reduction ~ Nf*6*Nc^2).
+# replicated (non-sharded) per-iteration work: the Schur solve.  From
+# the round-5 xprof HLO profiles of the sustained solves: opencv8_1cam
+# schur ops (frame-block solves + reduced 14x14 Cholesky + dus) sum to
+# ~0.07 ms; splined_30x18's 1082-wide reduced Cholesky + triangular
+# solves ~0.30 ms; others scaled by reduced-system size (Cholesky ~
+# Nc^3 + Cf reduction ~ Nf*6*Nc^2).
 SERIAL_MS = {
-    "opencv8_1cam": 0.36, "opencv8_4cam": 0.45, "splined_30x18": 2.0,
-    "sfm_triangulated": 0.30, "rig16cam": 0.9,
+    "opencv8_1cam": 0.07, "opencv8_4cam": 0.13, "splined_30x18": 0.30,
+    "sfm_triangulated": 0.06, "rig16cam": 0.22,
 }
 
 
@@ -85,7 +86,67 @@ def baseline_config_specs():
     return out
 
 
+def tpu_mesh1_overhead(out_path=None):
+    """Measured on the REAL chip: the production sharded path at mesh=1
+    vs the unsharded device loop — the shard_map/psum machinery's
+    per-iteration overhead with zero actual communication.  Run WITHOUT
+    JAX_PLATFORMS=cpu (uses whatever single device jax provides)."""
+    import jax
+    import jax.numpy as jnp
+    import mrcal_tpu  # noqa: F401
+    from bench import _CONFIG_THUNKS, _perturbed_oi
+    from mrcal_tpu.parallel import make_mesh, sharded_lm_solve_device
+    from mrcal_tpu.optimize.solver import lm_solve_device
+    from mrcal_tpu.optimize.layout import spec_from_inputs
+    from mrcal_tpu.optimize.residuals import (arrays_from_inputs,
+                                              params_from_arrays,
+                                              pack_params)
+    out = {"device": str(jax.devices()[0]), "configs": {}}
+    NIT = 500
+    for name in ("opencv8_1cam", "rig16cam"):
+        cfg = dict(_CONFIG_THUNKS)[name]()
+        oi = _perturbed_oi(cfg["oi"], seed=100, perturb_intrinsics=True)
+        spec = spec_from_inputs(**oi)
+        arrays = arrays_from_inputs(**oi)
+        b0 = jnp.asarray(pack_params(params_from_arrays(arrays), spec))
+        mesh = make_mesh(1)
+        rec = {}
+        for label, run in (
+            ("unsharded", lambda: lm_solve_device(
+                spec, arrays, b0, max_iterations=NIT,
+                update_threshold=0.0, ftol=0.0, dtype=jnp.float32,
+                quiet=True)),
+            ("mesh1_sharded", lambda: sharded_lm_solve_device(
+                spec, arrays, b0, mesh, max_iterations=NIT,
+                update_threshold=0.0, ftol=0.0, dtype=jnp.float32,
+                quiet=True))):
+            run()                                    # warmup/compile
+            t0 = time.perf_counter()
+            _, _, it, _ = run()
+            dt = (time.perf_counter() - t0) / max(int(it), 1) * 1e3
+            rec[label + "_ms_per_iter"] = round(dt, 4)
+        rec["overhead_pct"] = round(
+            100.0 * (rec["mesh1_sharded_ms_per_iter"]
+                     / rec["unsharded_ms_per_iter"] - 1.0), 1)
+        out["configs"][name] = rec
+        print(json.dumps({name: rec}))
+    if out_path:
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged["mesh1_overhead_real_chip"] = out
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=1)
+    return out
+
+
 def main():
+    if "--tpu-mesh1" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        tpu_mesh1_overhead(args[0] if args else None)
+        return
     import jax
     try:
         jax.config.update("jax_platforms", "cpu")
@@ -217,9 +278,9 @@ def main():
             "ici_bw_bytes_s_per_link_per_dir": ICI_BW_BYTES_S,
             "ici_latency_s_per_ring_step": ICI_LAT_S,
             "allreduce": "ring: 2*B*(N-1)/N per device + latency",
-            "single_chip_ms_source": "BENCH_r03 sustained f32 (v5e)",
-            "serial_ms_source": "fori_loop probes (opencv8_1cam "
-                                "schur_step 0.36 ms) scaled by reduced-"
+            "single_chip_ms_source": "round-5 single-dispatch device while_loop, warm cache (v5e, f32)",
+            "serial_ms_source": "round-5 xprof HLO profiles "
+                                "(schur ops summed) scaled by reduced-"
                                 "system size",
             "topology": "v5e 2D torus, 8 chips/host; 4 hosts = 32 chips "
                         "on ICI within one pod",

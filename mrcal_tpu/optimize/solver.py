@@ -1608,7 +1608,12 @@ def _lazy_h_K(spec: ProblemSpec, dtype):
         return int(env)
     if spec.is_splined and dtype == jnp.float32 \
             and jax.default_backend() != "cpu":
-        return 8
+        # K=4 with the separable out-of-loop gradient (round-5 v5e A/B):
+        # K=8 let the stale-H f32 phase drift enough to double the f64
+        # polish (conv 3.4 s / 32 polish iters); K=4 keeps polish at 16
+        # and the best convergence wall while sustained throughput stays
+        # within noise of K=8 (417 vs 420 it/s).  K=0: sustained 237.
+        return 4
     return 0
 
 
