@@ -1264,8 +1264,16 @@ def optimize(**kw):
             # invites a reject-cascade (nu-compounding shoots lambda
             # through the useful range in ~12 iterations) whenever the f32
             # point isn't squarely in the quadratic basin.
+            f32_kw = {}
+            if kw.get("ftol_f32") is not None:
+                # early-handoff knob: a LOOSER plateau ftol for the f32
+                # phase only — quit the f32 crawl earlier and let the
+                # f64 polish finish (see bench_valley_4cam.py for the
+                # measured trade on the 4-camera joint problem)
+                f32_kw["ftol"] = float(kw["ftol_f32"])
             with _timer.phase("solve_f32"):
-                b32, _, niter32, _ = solve(b, dtype=jnp.float32, quiet=True)
+                b32, _, niter32, _ = solve(b, dtype=jnp.float32,
+                                           quiet=True, **f32_kw)
             b = jnp.asarray(b32, jnp.float64)
             with _timer.phase("solve_polish_f64"):
                 b, E, niter, ne = solve(b, max_iterations=300,
