@@ -27,6 +27,7 @@ from .. import _xla  # noqa: F401
 from ..optimize import layout as _layout
 from ..optimize.layout import ProblemSpec
 from ..optimize.solver import (_CLayout, _make_board_fn, _make_point_fn,
+                               _make_board_corner_fn, _use_corner_jacobian,
                                _intr_scales, _EXT_SCALES, _FRAME_SCALES,
                                _WARP_SCALES, _POINT_SCALES,
                                _reg_per_camera, schur_step, _delta_to_b)
@@ -137,11 +138,45 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
                       warp=jnp.broadcast_to(warp_packed, (Nobs_l, 2)))
         obs = arrays["observations_board"]
         ifx = intr_full[ici]
-        board_fn = _make_board_fn(spec)
-        r = jax.vmap(board_fn, in_axes=(0, 0, 0, None))(
-            blocks, obs, ifx, params["calobject_warp"])
-        J = jax.vmap(jax.jacrev(board_fn), in_axes=(0, 0, 0, None))(
-            blocks, obs, ifx, params["calobject_warp"])
+        if _use_corner_jacobian(spec):
+            # residual + Jacobian in ONE vjp per corner (2 cotangents),
+            # same formulation as the unsharded fast path in
+            # solver.build_normal_equations.  The old whole-observation
+            # jacrev rode 2*H*W cotangents through the projection chain
+            # — measured 9-15x slower per iteration on the v5e at mesh=1
+            # (round-5 tpu_mesh1_overhead), which silently inflated the
+            # sharded path's compute baseline.
+            corner_fn = _make_board_corner_fn(spec)
+            Hn = spec.calibration_object_height_n
+            Wn = spec.calibration_object_width_n
+            _xg, _yg = np.meshgrid(np.arange(Wn, dtype=np.float64),
+                                   np.arange(Hn, dtype=np.float64))
+            cxy_all = jnp.asarray(
+                np.stack([_xg, _yg], axis=-1).reshape(-1, 2), dt)
+
+            def obs_rj(blk, ob, ifx1, wf):
+                obs_flat = ob.reshape(-1, 3)
+
+                def per_corner(cxy, oc):
+                    rr, pull = jax.vjp(
+                        lambda bl: corner_fn(bl, cxy, oc, ifx1, wf), blk)
+                    (Jd,) = jax.vmap(pull)(jnp.eye(2, dtype=rr.dtype))
+                    return rr, Jd                          # (2,), dict
+
+                return jax.vmap(per_corner)(cxy_all, obs_flat)
+
+            r2, J2 = jax.vmap(obs_rj, in_axes=(0, 0, 0, None))(
+                blocks, obs, ifx, params["calobject_warp"])
+            M = r2.shape[1] * 2                            # 2*H*W
+            r = r2.reshape(Nobs_l, M)
+            J = {k: v.reshape(Nobs_l, M, v.shape[-1])
+                 for k, v in J2.items()}
+        else:
+            board_fn = _make_board_fn(spec)
+            r = jax.vmap(board_fn, in_axes=(0, 0, 0, None))(
+                blocks, obs, ifx, params["calobject_warp"])
+            J = jax.vmap(jax.jacrev(board_fn), in_axes=(0, 0, 0, None))(
+                blocks, obs, ifx, params["calobject_warp"])
         r = r * mask_board[:, None]
         Ji = J["intr"] * mask_board[:, None, None] \
             if spec.Nintrinsics_state_per_cam else jnp.zeros_like(J["intr"])
