@@ -36,6 +36,32 @@ from ..optimize.residuals import split_packed_state
 _seg = jax.ops.segment_sum
 
 
+def _pair_block(Pa, Pb, Ja, Jb):
+    """sum_o Pa[o,a] Pb[o,b] (Ja[o]^T Jb[o]) assembled as ONE dense
+    (A*na, B*nb) block: the per-obs (na,nb) outer blocks are contracted
+    against the joint (a,b) one-hot — two MXU matmuls — and the caller
+    places the result with a single static slice.  This replaces the
+    dynamic-column scatter-adds the SPMD assembly used through round 5,
+    which measured 3x the entire NE evaluation on the v5e (the ids are
+    shard-local data, so the unsharded path's static per-pair grouping
+    is unavailable here; one-hot contraction is the SPMD-uniform
+    equivalent).  Out-of-range ids (e.g. ice=-1, camera at the
+    reference) one-hot to zero rows and drop out exactly."""
+    o, A = Pa.shape
+    B = Pb.shape[1]
+    na, nb = Ja.shape[-1], Jb.shape[-1]
+    blk = jnp.einsum("omi,omj->oij", Ja, Jb).reshape(o, na * nb)
+    Pab = (Pa[:, :, None] * Pb[:, None, :]).reshape(o, A * B)
+    S = Pab.T @ blk                                       # (A*B, na*nb)
+    return (S.reshape(A, B, na, nb).transpose(0, 2, 1, 3)
+            .reshape(A * na, B * nb))
+
+
+def _pair_gvec(Pa, Ja, r):
+    """sum_o Pa[o,a] (Ja[o]^T r[o]) flattened to (A*na,)."""
+    return (Pa.T @ jnp.einsum("omi,om->oi", Ja, r)).reshape(-1)
+
+
 def make_mesh(n_devices=None, axis="obs"):
     devices = jax.devices()
     if n_devices is not None:
@@ -191,17 +217,22 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
         E = E + jnp.sum(r * r)
         x_board_rows = r
 
-        # column start offsets per obs (dynamic)
-        coli = ici * cl.Nip
-        cole = cl.e0 + 6 * jnp.maximum(ice, 0)
+        # one-hot pair-contraction assembly: every camera-system block
+        # lands as (one-hot^T @ per-obs-block) MXU matmuls + ONE static
+        # placement.  The previous dynamic-column scatter-adds were 3x
+        # the entire NE evaluation on the v5e (round-5 probe: rig16cam
+        # 1.28 ms unsharded vs 3.95 ms with scatters; shard_map/psum
+        # mechanics themselves are free).  An out-of-range id (ice=-1,
+        # camera at the reference) one-hots to a zero row, so those
+        # contributions vanish exactly as the old masking did.
+        Pi = jax.nn.one_hot(ici, max(cl.Nci, 1), dtype=dt)
+        Pe = jax.nn.one_hot(ice, max(cl.Nce, 1), dtype=dt)
+        P1 = jnp.ones((Nobs_l, 1), dt)
 
-        def scat_gc(g_c, J1, col0, n):
-            gi = jnp.einsum("omi,om->oi", J1, r)
-            idxs = col0[:, None] + jnp.arange(n)[None, :]
-            return g_c.at[idxs].add(gi)
-
-        g_c = scat_gc(g_c, Ji, coli, cl.Nip) if cl.Nip else g_c
-        g_c = scat_gc(g_c, Je, cole, 6)
+        if cl.Nip:
+            g_c = g_c.at[:cl.e0].add(_pair_gvec(Pi, Ji, r))
+        if cl.Nce:
+            g_c = g_c.at[cl.e0:cl.w0].add(_pair_gvec(Pe, Je, r))
         g_c = g_c.at[cl.w0:cl.w0 + 2].add(jnp.einsum("omi,om->i", Jw, r))
         if Nf:
             g_f = g_f.at[:Nf].add(
@@ -210,39 +241,42 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
                 _seg(jnp.einsum("omi,omj->oij", Jf, Jf), ifr,
                      num_segments=Nf))
 
-        def scat_H(H, JA, colA, nA, JB, colB, nB):
-            blk = jnp.einsum("omi,omj->oij", JA, JB)
-            ridx = (colA[:, None] + jnp.arange(nA)[None, :])[:, :, None]
-            cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
-            return H.at[ridx, cidx].add(blk)
-
         if cl.Nip:
-            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Ji, coli, cl.Nip)
-            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Je, cole, 6)
-            Hcc = scat_H(Hcc, Je, cole, 6, Ji, coli, cl.Nip)
-            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Jw,
-                         jnp.full_like(coli, cl.w0), 2)
-            Hcc = scat_H(Hcc, Jw, jnp.full_like(coli, cl.w0), 2,
-                         Ji, coli, cl.Nip)
-        Hcc = scat_H(Hcc, Je, cole, 6, Je, cole, 6)
-        Hcc = scat_H(Hcc, Je, cole, 6, Jw, jnp.full_like(cole, cl.w0), 2)
-        Hcc = scat_H(Hcc, Jw, jnp.full_like(cole, cl.w0), 2, Je, cole, 6)
+            Hcc = Hcc.at[:cl.e0, :cl.e0].add(_pair_block(Pi, Pi, Ji, Ji))
+            if cl.Nce:
+                Bie = _pair_block(Pi, Pe, Ji, Je)
+                Hcc = Hcc.at[:cl.e0, cl.e0:cl.w0].add(Bie)
+                Hcc = Hcc.at[cl.e0:cl.w0, :cl.e0].add(Bie.T)
+            Biw = _pair_block(Pi, P1, Ji, Jw)
+            Hcc = Hcc.at[:cl.e0, cl.w0:cl.w0 + 2].add(Biw)
+            Hcc = Hcc.at[cl.w0:cl.w0 + 2, :cl.e0].add(Biw.T)
+        if cl.Nce:
+            Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(
+                _pair_block(Pe, Pe, Je, Je))
+            Bew = _pair_block(Pe, P1, Je, Jw)
+            Hcc = Hcc.at[cl.e0:cl.w0, cl.w0:cl.w0 + 2].add(Bew)
+            Hcc = Hcc.at[cl.w0:cl.w0 + 2, cl.e0:cl.w0].add(Bew.T)
         Hcc = Hcc.at[cl.w0:cl.w0 + 2, cl.w0:cl.w0 + 2].add(
             jnp.einsum("omi,omj->ij", Jw, Jw))
 
         if Nf:
-            # frame-cross rows: scatter into Cf (Nframes, 6, Nc)
-            def scat_Cf(Cf, JB, colB, nB):
-                blk = jnp.einsum("omi,omj->oij", Jf, JB)  # (o,6,nB)
-                fidx = ifr[:, None, None]
-                ridx = jnp.arange(6)[None, :, None]
-                cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
-                return Cf.at[fidx, ridx, cidx].add(blk)
+            # frame-cross rows: expand the column block by the camera
+            # one-hot (static column range), then ONE segment-sum over
+            # the frame axis — the same structure the unsharded path
+            # uses, no dynamic-column scatter
+            def cf_block(JB, PB):
+                blk = jnp.einsum("omi,omj->oij", Jf, JB)   # (o,6,nB)
+                ex = (PB[:, None, :, None] *
+                      blk[:, :, None, :]).reshape(Nobs_l, 6, -1)
+                return _seg(ex, ifr, num_segments=Nf)
 
             if cl.Nip:
-                Cf = scat_Cf(Cf, Ji, coli, cl.Nip)
-            Cf = scat_Cf(Cf, Je, cole, 6)
-            Cf = scat_Cf(Cf, Jw, jnp.full_like(cole, cl.w0), 2)
+                Cf = Cf.at[:, :, :cl.e0].add(cf_block(Ji, Pi))
+            if cl.Nce:
+                Cf = Cf.at[:, :, cl.e0:cl.w0].add(cf_block(Je, Pe))
+            Cf = Cf.at[:, :, cl.w0:cl.w0 + 2].add(
+                _seg(jnp.einsum("omi,omj->oij", Jf, Jw), ifr,
+                     num_segments=Nf))
 
     if spec.Nobservations_point and arrays["observations_point"].shape[0]:
         idx = arrays["indices_point"]
@@ -264,27 +298,22 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
             if (s.do_optimize_frames and Npv) else jnp.zeros_like(J["point"])
         E = E + jnp.sum(r * r)
         x_point_rows = r
-        coli = ici * cl.Nip
-        cole = cl.e0 + 6 * jnp.maximum(ice, 0)
-
-        def scat_gc(g_c, J1, col0, n):
-            gi = jnp.einsum("omi,om->oi", J1, r)
-            idxs = col0[:, None] + jnp.arange(n)[None, :]
-            return g_c.at[idxs].add(gi)
-
-        def scat_H(H, JA, colA, nA, JB, colB, nB):
-            blk = jnp.einsum("omi,omj->oij", JA, JB)
-            ridx = (colA[:, None] + jnp.arange(nA)[None, :])[:, :, None]
-            cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
-            return H.at[ridx, cidx].add(blk)
+        Nobs_lp = idx.shape[0]
+        # same one-hot pair-contraction assembly as the board section
+        Pi = jax.nn.one_hot(ici, max(cl.Nci, 1), dtype=dt)
+        Pe = jax.nn.one_hot(ice, max(cl.Nce, 1), dtype=dt)
 
         if cl.Nip:
-            g_c = scat_gc(g_c, Ji, coli, cl.Nip)
-            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Ji, coli, cl.Nip)
-            Hcc = scat_H(Hcc, Ji, coli, cl.Nip, Je, cole, 6)
-            Hcc = scat_H(Hcc, Je, cole, 6, Ji, coli, cl.Nip)
-        g_c = scat_gc(g_c, Je, cole, 6)
-        Hcc = scat_H(Hcc, Je, cole, 6, Je, cole, 6)
+            g_c = g_c.at[:cl.e0].add(_pair_gvec(Pi, Ji, r))
+            Hcc = Hcc.at[:cl.e0, :cl.e0].add(_pair_block(Pi, Pi, Ji, Ji))
+            if cl.Nce:
+                Bie = _pair_block(Pi, Pe, Ji, Je)
+                Hcc = Hcc.at[:cl.e0, cl.e0:cl.w0].add(Bie)
+                Hcc = Hcc.at[cl.e0:cl.w0, :cl.e0].add(Bie.T)
+        if cl.Nce:
+            g_c = g_c.at[cl.e0:cl.w0].add(_pair_gvec(Pe, Je, r))
+            Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(
+                _pair_block(Pe, Pe, Je, Je))
         if Npv:
             ipt_c = jnp.clip(ipt, 0, Npv - 1)
             g_p = g_p.at[:Npv].add(
@@ -294,16 +323,18 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
                 _seg(jnp.einsum("omi,omj->oij", Jp, Jp), ipt_c,
                      num_segments=Npv))
 
-            def scat_Cp(Cp, JB, colB, nB):
-                blk = jnp.einsum("omi,omj->oij", Jp, JB)
-                fidx = ipt_c[:, None, None]
-                ridx = jnp.arange(3)[None, :, None]
-                cidx = (colB[:, None] + jnp.arange(nB)[None, :])[:, None, :]
-                return Cp.at[fidx, ridx, cidx].add(blk)
+            # point-cross rows: camera one-hot expansion + ONE
+            # segment-sum over the point axis (no dynamic-column scatter)
+            def cp_block(JB, PB):
+                blk = jnp.einsum("omi,omj->oij", Jp, JB)   # (o,3,nB)
+                ex = (PB[:, None, :, None] *
+                      blk[:, :, None, :]).reshape(Nobs_lp, 3, -1)
+                return _seg(ex, ipt_c, num_segments=Npv)
 
             if cl.Nip:
-                Cp = scat_Cp(Cp, Ji, coli, cl.Nip)
-            Cp = scat_Cp(Cp, Je, cole, 6)
+                Cp = Cp.at[:, :, :cl.e0].add(cp_block(Ji, Pi))
+            if cl.Nce:
+                Cp = Cp.at[:, :, cl.e0:cl.w0].add(cp_block(Je, Pe))
 
     if "tri_v0" in arrays and arrays["tri_v0"].shape[0]:
         # triangulated-point pairwise measurements: touch ONLY extrinsics
@@ -337,25 +368,18 @@ def _local_normal_equations(spec: ProblemSpec, b, arrays, mask_board,
             J1 = jax.vmap(jax.grad(tri_fn, argnums=1))(e0g, e1g, v0, v1)
             J0 = J0 * (tmask * (tice0 >= 0).astype(dt))[:, None]
             J1 = J1 * (tmask * (tice1 >= 0).astype(dt))[:, None]
-            col0 = cl.e0 + 6 * jnp.maximum(tice0, 0)
-            col1 = cl.e0 + 6 * jnp.maximum(tice1, 0)
-
-            def scat_g(g_c, J, col):
-                idxs = col[:, None] + jnp.arange(6)[None, :]
-                return g_c.at[idxs].add(J * r[:, None])
-
-            def scat_Ht(H, JA, colA, JB, colB):
-                blk = jnp.einsum("oi,oj->oij", JA, JB)
-                ridx = (colA[:, None] + jnp.arange(6)[None, :])[:, :, None]
-                cidx = (colB[:, None] + jnp.arange(6)[None, :])[:, None, :]
-                return H.at[ridx, cidx].add(blk)
-
-            g_c = scat_g(g_c, J0, col0)
-            g_c = scat_g(g_c, J1, col1)
-            Hcc = scat_Ht(Hcc, J0, col0, J0, col0)
-            Hcc = scat_Ht(Hcc, J1, col1, J1, col1)
-            Hcc = scat_Ht(Hcc, J0, col0, J1, col1)
-            Hcc = scat_Ht(Hcc, J1, col1, J0, col0)
+            # dense per-pair rows via one-hot outer products (MXU
+            # matmuls), the same formulation as the unsharded path
+            # (solver.build_normal_equations triangulated block); the
+            # reference-camera column (tice=-1 -> slot 0) is dropped
+            Nce1 = cl.Nce + 1
+            O0 = jax.nn.one_hot(tice0 + 1, Nce1, dtype=dt)
+            O1 = jax.nn.one_hot(tice1 + 1, Nce1, dtype=dt)
+            Jrow = (O0[:, :, None] * J0[:, None, :]
+                    + O1[:, :, None] * J1[:, None, :]).reshape(
+                r.shape[0], 6 * Nce1)[:, 6:]
+            Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(Jrow.T @ Jrow)
+            g_c = g_c.at[cl.e0:cl.w0].add(Jrow.T @ r)
 
     return dict(E=E, g_c=g_c, g_f=g_f, g_p=g_p, Hcc=Hcc, Hff=Hff, Cf=Cf,
                 Hpp=Hpp, Cp=Cp,
