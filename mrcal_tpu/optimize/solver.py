@@ -205,6 +205,57 @@ def _distinct_pairs(idx_np):
     return [(k, np.asarray(v)) for k, v in sorted(pairs.items())]
 
 
+def _pair_block(Pa, Pb, Ja, Jb):
+    """sum_o Pa[o,a] Pb[o,b] (Ja[o]^T Jb[o]) assembled as ONE dense
+    (A*na, B*nb) block: the per-obs (na,nb) outer blocks are contracted
+    against the joint (a,b) one-hot — two MXU matmuls — and the caller
+    places the result with a single static slice.  Shared by the
+    sharded SPMD assembly (ids are shard-local data, so static per-pair
+    grouping is unavailable) and, for many-camera rigs, the unsharded
+    build: the one-hot contraction measured FASTER than the static
+    per-pair slice loop on the v5e once the pair count grows (rig16cam
+    local NE 0.98 vs 1.26 ms/iter, round-5 probe).  Out-of-range ids
+    (e.g. ice=-1, camera at the reference) one-hot to zero rows and
+    drop out exactly."""
+    o, A = Pa.shape
+    B = Pb.shape[1]
+    na, nb = Ja.shape[-1], Jb.shape[-1]
+    blk = jnp.einsum("omi,omj->oij", Ja, Jb).reshape(o, na * nb)
+    Pab = (Pa[:, :, None] * Pb[:, None, :]).reshape(o, A * B)
+    S = Pab.T @ blk                                       # (A*B, na*nb)
+    return (S.reshape(A, B, na, nb).transpose(0, 2, 1, 3)
+            .reshape(A * na, B * nb))
+
+
+def _pair_gvec(Pa, Ja, r):
+    """sum_o Pa[o,a] (Ja[o]^T r[o]) flattened to (A*na,)."""
+    return (Pa.T @ jnp.einsum("omi,om->oi", Ja, r)).reshape(-1)
+
+
+def _use_pair_onehot(spec: ProblemSpec):
+    """One-hot pair-contraction assembly for the UNSHARDED NE build
+    (MRCAL_TPU_PAIR_ONEHOT=1 enables; parity vs the per-pair loop is
+    pinned to 1e-12 in tests/test_onehot_assembly.py).
+
+    Measured on the v5e (round 5): +19-21% SUSTAINED f32 it/s on the
+    multi-camera rigs (4cam 1357 -> 1615, rig16 717 -> 871; identical
+    E) — but OFF by default: the f32 rounding differences shift the
+    rig16 trajectory enough that its f32 phase small-step-exits at 13
+    iterations instead of ~25, handing the 9x-costlier f64 polish a
+    worse point (16 -> 64 polish iterations, convergence wall 1.1 ->
+    3.5 s, reproducible across seeds; final rms actually 0.0001 BETTER
+    — the early-exit old path quits a whisker sooner).  Until the f32
+    phase's exit criteria are made robust to that reordering, the
+    sustained win is not worth the wall regression.  The SHARDED
+    assembly (parallel/sharding.py) always uses the one-hot
+    contraction — shard-local ids leave it no static alternative, and
+    at mesh>=1 it is strictly faster there."""
+    env = _os.environ.get("MRCAL_TPU_PAIR_ONEHOT")
+    if env is not None:
+        return env != "0"
+    return False
+
+
 def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
     """Returns a jitted-friendly pure function
         f(b) -> (E, g_c, g_f, g_p, Hcc, Hff, Cf, Hpp, Cp, x_board, x_point)
@@ -359,38 +410,82 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
                     _seg(jnp.einsum("omi,omj->oij", Jf, Jw), ifr,
                          num_segments=Nf))
 
-            # per distinct (ici,ice) pair: static column placement
-            for (ci, ce), oids in pairs_b:
-                oid = jnp.asarray(oids)
-                Ji_p, Je_p, Jf_p, Jw_p = (Ji[oid], Je[oid], Jf[oid], Jw[oid])
-                r_p = r[oid]
-                i0 = cl.coli(ci)
-                g_c = g_c.at[i0:i0 + cl.Nip].add(jnp.sum(gi[oid], axis=0))
-                Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(
-                    jnp.einsum("omi,omj->ij", Ji_p, Ji_p))
-                # intr-warp cross
-                Hiw = jnp.einsum("omi,omj->ij", Ji_p, Jw_p)
-                Hcc = Hcc.at[i0:i0 + cl.Nip, cl.w0:cl.w0 + 2].add(Hiw)
-                Hcc = Hcc.at[cl.w0:cl.w0 + 2, i0:i0 + cl.Nip].add(Hiw.T)
+            if _use_pair_onehot(spec):
+                # many distinct camera blocks: one-hot pair contraction
+                # (MXU matmuls + one static placement per block type)
+                # instead of the per-pair slice loop below — same math,
+                # measured faster on the v5e for multi-camera rigs
+                Nob_ = r.shape[0]
+                Pi = jax.nn.one_hot(ici, max(cl.Nci, 1), dtype=dt)
+                Pe = jax.nn.one_hot(ice, max(cl.Nce, 1), dtype=dt)
+                P1 = jnp.ones((Nob_, 1), dt)
+                if cl.Nip:
+                    g_c = g_c.at[:cl.e0].add(_pair_gvec(Pi, Ji, r))
+                    Hcc = Hcc.at[:cl.e0, :cl.e0].add(
+                        _pair_block(Pi, Pi, Ji, Ji))
+                    Biw = _pair_block(Pi, P1, Ji, Jw)
+                    Hcc = Hcc.at[:cl.e0, cl.w0:cl.w0 + 2].add(Biw)
+                    Hcc = Hcc.at[cl.w0:cl.w0 + 2, :cl.e0].add(Biw.T)
+                    if cl.Nce:
+                        Bie = _pair_block(Pi, Pe, Ji, Je)
+                        Hcc = Hcc.at[:cl.e0, cl.e0:cl.w0].add(Bie)
+                        Hcc = Hcc.at[cl.e0:cl.w0, :cl.e0].add(Bie.T)
+                if cl.Nce:
+                    g_c = g_c.at[cl.e0:cl.w0].add(_pair_gvec(Pe, Je, r))
+                    Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(
+                        _pair_block(Pe, Pe, Je, Je))
+                    Bew = _pair_block(Pe, P1, Je, Jw)
+                    Hcc = Hcc.at[cl.e0:cl.w0, cl.w0:cl.w0 + 2].add(Bew)
+                    Hcc = Hcc.at[cl.w0:cl.w0 + 2, cl.e0:cl.w0].add(Bew.T)
                 if Nf:
-                    Cf = Cf.at[:, :, i0:i0 + cl.Nip].add(
-                        _seg(jnp.einsum("omi,omj->oij", Jf_p, Ji_p),
-                             ifr[oid], num_segments=Nf))
-                if ce >= 0:
-                    e0 = cl.cole(ce)
-                    g_c = g_c.at[e0:e0 + 6].add(jnp.sum(ge[oid], axis=0))
-                    Hcc = Hcc.at[e0:e0 + 6, e0:e0 + 6].add(
-                        jnp.einsum("omi,omj->ij", Je_p, Je_p))
-                    Hie = jnp.einsum("omi,omj->ij", Ji_p, Je_p)
-                    Hcc = Hcc.at[i0:i0 + cl.Nip, e0:e0 + 6].add(Hie)
-                    Hcc = Hcc.at[e0:e0 + 6, i0:i0 + cl.Nip].add(Hie.T)
-                    Hew = jnp.einsum("omi,omj->ij", Je_p, Jw_p)
-                    Hcc = Hcc.at[e0:e0 + 6, cl.w0:cl.w0 + 2].add(Hew)
-                    Hcc = Hcc.at[cl.w0:cl.w0 + 2, e0:e0 + 6].add(Hew.T)
+                    # cross rows: column block expanded by the camera
+                    # one-hot, ONE segment-sum over the frame axis
+                    def cf_block(JB, PB):
+                        blk = jnp.einsum("omi,omj->oij", Jf, JB)
+                        ex = (PB[:, None, :, None] *
+                              blk[:, :, None, :]).reshape(Nob_, 6, -1)
+                        return _seg(ex, ifr, num_segments=Nf)
+
+                    if cl.Nip:
+                        Cf = Cf.at[:, :, :cl.e0].add(cf_block(Ji, Pi))
+                    if cl.Nce:
+                        Cf = Cf.at[:, :, cl.e0:cl.w0].add(cf_block(Je, Pe))
+            else:
+                # per distinct (ici,ice) pair: static column placement
+                for (ci, ce), oids in pairs_b:
+                    oid = jnp.asarray(oids)
+                    Ji_p, Je_p, Jf_p, Jw_p = (Ji[oid], Je[oid],
+                                              Jf[oid], Jw[oid])
+                    i0 = cl.coli(ci)
+                    g_c = g_c.at[i0:i0 + cl.Nip].add(
+                        jnp.sum(gi[oid], axis=0))
+                    Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(
+                        jnp.einsum("omi,omj->ij", Ji_p, Ji_p))
+                    # intr-warp cross
+                    Hiw = jnp.einsum("omi,omj->ij", Ji_p, Jw_p)
+                    Hcc = Hcc.at[i0:i0 + cl.Nip, cl.w0:cl.w0 + 2].add(Hiw)
+                    Hcc = Hcc.at[cl.w0:cl.w0 + 2, i0:i0 + cl.Nip].add(Hiw.T)
                     if Nf:
-                        Cf = Cf.at[:, :, e0:e0 + 6].add(
-                            _seg(jnp.einsum("omi,omj->oij", Jf_p, Je_p),
+                        Cf = Cf.at[:, :, i0:i0 + cl.Nip].add(
+                            _seg(jnp.einsum("omi,omj->oij", Jf_p, Ji_p),
                                  ifr[oid], num_segments=Nf))
+                    if ce >= 0:
+                        e0 = cl.cole(ce)
+                        g_c = g_c.at[e0:e0 + 6].add(
+                            jnp.sum(ge[oid], axis=0))
+                        Hcc = Hcc.at[e0:e0 + 6, e0:e0 + 6].add(
+                            jnp.einsum("omi,omj->ij", Je_p, Je_p))
+                        Hie = jnp.einsum("omi,omj->ij", Ji_p, Je_p)
+                        Hcc = Hcc.at[i0:i0 + cl.Nip, e0:e0 + 6].add(Hie)
+                        Hcc = Hcc.at[e0:e0 + 6, i0:i0 + cl.Nip].add(Hie.T)
+                        Hew = jnp.einsum("omi,omj->ij", Je_p, Jw_p)
+                        Hcc = Hcc.at[e0:e0 + 6, cl.w0:cl.w0 + 2].add(Hew)
+                        Hcc = Hcc.at[cl.w0:cl.w0 + 2, e0:e0 + 6].add(Hew.T)
+                        if Nf:
+                            Cf = Cf.at[:, :, e0:e0 + 6].add(
+                                _seg(jnp.einsum("omi,omj->oij",
+                                                Jf_p, Je_p),
+                                     ifr[oid], num_segments=Nf))
 
         # ---------------- point observations ----------------
         if spec.Nobservations_point:
@@ -425,30 +520,64 @@ def build_normal_equations(spec: ProblemSpec, arrays, static_idx):
                 Hpp = Hpp.at[:Npv].add(
                     _seg(jnp.einsum("omi,omj->oij", Jp, Jp), ipt_c,
                          num_segments=Npv))
-            for (ci, ce), oids in pairs_p:
-                oid = jnp.asarray(oids)
-                i0 = cl.coli(ci)
-                g_c = g_c.at[i0:i0 + cl.Nip].add(jnp.sum(gi[oid], axis=0))
-                Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(
-                    jnp.einsum("omi,omj->ij", Ji[oid], Ji[oid]))
+            if _use_pair_onehot(spec):
+                Nop_ = r.shape[0]
+                Pi = jax.nn.one_hot(ici, max(cl.Nci, 1), dtype=dt)
+                Pe = jax.nn.one_hot(ice, max(cl.Nce, 1), dtype=dt)
+                if cl.Nip:
+                    g_c = g_c.at[:cl.e0].add(_pair_gvec(Pi, Ji, r))
+                    Hcc = Hcc.at[:cl.e0, :cl.e0].add(
+                        _pair_block(Pi, Pi, Ji, Ji))
+                    if cl.Nce:
+                        Bie = _pair_block(Pi, Pe, Ji, Je)
+                        Hcc = Hcc.at[:cl.e0, cl.e0:cl.w0].add(Bie)
+                        Hcc = Hcc.at[cl.e0:cl.w0, :cl.e0].add(Bie.T)
+                if cl.Nce:
+                    g_c = g_c.at[cl.e0:cl.w0].add(_pair_gvec(Pe, Je, r))
+                    Hcc = Hcc.at[cl.e0:cl.w0, cl.e0:cl.w0].add(
+                        _pair_block(Pe, Pe, Je, Je))
                 if Npv:
-                    Cp = Cp.at[:, :, i0:i0 + cl.Nip].add(
-                        _seg(jnp.einsum("omi,omj->oij", Jp[oid], Ji[oid]),
-                             jnp.clip(ipt[oid], 0, Npv - 1),
-                             num_segments=Npv))
-                if ce >= 0:
-                    e0 = cl.cole(ce)
-                    g_c = g_c.at[e0:e0 + 6].add(jnp.sum(ge[oid], axis=0))
-                    Hcc = Hcc.at[e0:e0 + 6, e0:e0 + 6].add(
-                        jnp.einsum("omi,omj->ij", Je[oid], Je[oid]))
-                    Hie = jnp.einsum("omi,omj->ij", Ji[oid], Je[oid])
-                    Hcc = Hcc.at[i0:i0 + cl.Nip, e0:e0 + 6].add(Hie)
-                    Hcc = Hcc.at[e0:e0 + 6, i0:i0 + cl.Nip].add(Hie.T)
+                    ipt_cc = jnp.clip(ipt, 0, Npv - 1)
+
+                    def cp_block(JB, PB):
+                        blk = jnp.einsum("omi,omj->oij", Jp, JB)
+                        ex = (PB[:, None, :, None] *
+                              blk[:, :, None, :]).reshape(Nop_, 3, -1)
+                        return _seg(ex, ipt_cc, num_segments=Npv)
+
+                    if cl.Nip:
+                        Cp = Cp.at[:, :, :cl.e0].add(cp_block(Ji, Pi))
+                    if cl.Nce:
+                        Cp = Cp.at[:, :, cl.e0:cl.w0].add(cp_block(Je, Pe))
+            else:
+                for (ci, ce), oids in pairs_p:
+                    oid = jnp.asarray(oids)
+                    i0 = cl.coli(ci)
+                    g_c = g_c.at[i0:i0 + cl.Nip].add(
+                        jnp.sum(gi[oid], axis=0))
+                    Hcc = Hcc.at[i0:i0 + cl.Nip, i0:i0 + cl.Nip].add(
+                        jnp.einsum("omi,omj->ij", Ji[oid], Ji[oid]))
                     if Npv:
-                        Cp = Cp.at[:, :, e0:e0 + 6].add(
-                            _seg(jnp.einsum("omi,omj->oij", Jp[oid], Je[oid]),
+                        Cp = Cp.at[:, :, i0:i0 + cl.Nip].add(
+                            _seg(jnp.einsum("omi,omj->oij",
+                                            Jp[oid], Ji[oid]),
                                  jnp.clip(ipt[oid], 0, Npv - 1),
                                  num_segments=Npv))
+                    if ce >= 0:
+                        e0 = cl.cole(ce)
+                        g_c = g_c.at[e0:e0 + 6].add(
+                            jnp.sum(ge[oid], axis=0))
+                        Hcc = Hcc.at[e0:e0 + 6, e0:e0 + 6].add(
+                            jnp.einsum("omi,omj->ij", Je[oid], Je[oid]))
+                        Hie = jnp.einsum("omi,omj->ij", Ji[oid], Je[oid])
+                        Hcc = Hcc.at[i0:i0 + cl.Nip, e0:e0 + 6].add(Hie)
+                        Hcc = Hcc.at[e0:e0 + 6, i0:i0 + cl.Nip].add(Hie.T)
+                        if Npv:
+                            Cp = Cp.at[:, :, e0:e0 + 6].add(
+                                _seg(jnp.einsum("omi,omj->oij",
+                                                Jp[oid], Je[oid]),
+                                     jnp.clip(ipt[oid], 0, Npv - 1),
+                                     num_segments=Npv))
 
         # ---------------- triangulated-point pairs ----------------
         x_tri = jnp.zeros((0,), dt)
@@ -1631,6 +1760,7 @@ def _trace_env_key(spec: ProblemSpec):
     process would be silently ignored."""
     return (_use_splined_sparse(spec),
             _use_corner_jacobian(spec),
+            _use_pair_onehot(spec),
             _os.environ.get("MRCAL_TPU_F32_LAM_FLOOR", "4e-7"),
             _os.environ.get("MRCAL_TPU_SCHUR_F64"),
             _os.environ.get("MRCAL_TPU_SPLINED_F64_H32", "1"),

@@ -28,38 +28,13 @@ from ..optimize import layout as _layout
 from ..optimize.layout import ProblemSpec
 from ..optimize.solver import (_CLayout, _make_board_fn, _make_point_fn,
                                _make_board_corner_fn, _use_corner_jacobian,
+                               _pair_block, _pair_gvec,
                                _intr_scales, _EXT_SCALES, _FRAME_SCALES,
                                _WARP_SCALES, _POINT_SCALES,
                                _reg_per_camera, schur_step, _delta_to_b)
 from ..optimize.residuals import split_packed_state
 
 _seg = jax.ops.segment_sum
-
-
-def _pair_block(Pa, Pb, Ja, Jb):
-    """sum_o Pa[o,a] Pb[o,b] (Ja[o]^T Jb[o]) assembled as ONE dense
-    (A*na, B*nb) block: the per-obs (na,nb) outer blocks are contracted
-    against the joint (a,b) one-hot — two MXU matmuls — and the caller
-    places the result with a single static slice.  This replaces the
-    dynamic-column scatter-adds the SPMD assembly used through round 5,
-    which measured 3x the entire NE evaluation on the v5e (the ids are
-    shard-local data, so the unsharded path's static per-pair grouping
-    is unavailable here; one-hot contraction is the SPMD-uniform
-    equivalent).  Out-of-range ids (e.g. ice=-1, camera at the
-    reference) one-hot to zero rows and drop out exactly."""
-    o, A = Pa.shape
-    B = Pb.shape[1]
-    na, nb = Ja.shape[-1], Jb.shape[-1]
-    blk = jnp.einsum("omi,omj->oij", Ja, Jb).reshape(o, na * nb)
-    Pab = (Pa[:, :, None] * Pb[:, None, :]).reshape(o, A * B)
-    S = Pab.T @ blk                                       # (A*B, na*nb)
-    return (S.reshape(A, B, na, nb).transpose(0, 2, 1, 3)
-            .reshape(A * na, B * nb))
-
-
-def _pair_gvec(Pa, Ja, r):
-    """sum_o Pa[o,a] (Ja[o]^T r[o]) flattened to (A*na,)."""
-    return (Pa.T @ jnp.einsum("omi,om->oi", Ja, r)).reshape(-1)
 
 
 def make_mesh(n_devices=None, axis="obs"):
